@@ -1,0 +1,301 @@
+"""Pure numpy/python decode semantics, shared by the oracle and Spark UDFs.
+
+Each function re-implements, from observed behavior, one reference decode
+(file:line into /root/reference), over either a dense score grid (tests) or
+the sparse cell sets produced by scorer.DictScorer (production — identical
+results because the sparse fill NEG=-1.0 is below every decode threshold).
+
+M1  gp_decode        .../global_pointer/modeling_gp.py:145-170
+M2  w2ner_decode     .../w2ner/modeling_w2ner.py:197-254
+M8  gplinker_decode  .../relation_extraction/gplinker/modeling_gplinker.py:164-213
+M14 event_decode     .../event_extraction/gplinker/modeling_gplinker.py:157-221
+M15 event_set2json   .../event_extraction/gplinker/decode_utils.py:76-100
+    clique_search    .../event_extraction/gplinker/decode_utils.py:35-62
+M16 get_span et al.  .../uie/decode_utils.py:38-115
+"""
+
+from __future__ import annotations
+
+from itertools import groupby, product
+
+import numpy as np
+
+TRIGGER_ROLE = "触发词"
+
+
+# --------------------------------------------------------------------------
+# M1: GlobalPointer NER
+# --------------------------------------------------------------------------
+def gp_decode_cells(cells, l, text, mapping, id2label) -> set:
+    """cells: iterable of (label_id, start_tok, end_tok) whose logit exceeds
+    decode_thresh. Emits the reference's mention tuple set
+    (label, char_start, char_end, surface); CLS/SEP/PAD cells excluded via
+    ``s >= l-1 or e >= l-1 or 0 in (s, e)`` exactly as modeling_gp.py:163."""
+    out = set()
+    for label_id, s, e in cells:
+        if s >= (l - 1) or e >= (l - 1) or 0 in (s, e):
+            continue
+        _start, _end = mapping[s][0], mapping[e][1]
+        out.add((id2label[label_id], _start, _end, text[_start:_end]))
+    return out
+
+
+def gp_decode_dense(grid: np.ndarray, l, text, mapping, id2label, thresh=0.0) -> set:
+    return gp_decode_cells(zip(*np.where(grid > thresh)), l, text, mapping, id2label)
+
+
+# --------------------------------------------------------------------------
+# M8: GPLinker relation extraction
+# --------------------------------------------------------------------------
+def gplinker_decode_cells(ent_cells, head_cells, tail_cells, l, text, mapping, id2pred) -> set:
+    """Sparse GPLinker triple decode. ent_cells {(r,h,t)} (r=0 subject,
+    else object); head_cells {(p,sh,oh)}; tail_cells {(p,st,ot)}. For every
+    subject×object pair, emit predicates present in BOTH head and tail grids
+    (modeling_gplinker.py:183-212)."""
+    subjects, objects = set(), set()
+    for r, h, t in ent_cells:
+        if h >= (l - 1) or t >= (l - 1) or 0 in (h, t):
+            continue
+        (subjects if r == 0 else objects).add((int(h), int(t)))
+
+    head_map: dict = {}
+    for p, sh, oh in head_cells:
+        head_map.setdefault((sh, oh), set()).add(int(p))
+    tail_map: dict = {}
+    for p, st, ot in tail_cells:
+        tail_map.setdefault((st, ot), set()).add(int(p))
+
+    spoes = set()
+    for (sh, st), (oh, ot) in product(subjects, objects):
+        ps = head_map.get((sh, oh), set()) & tail_map.get((st, ot), set())
+        for p in ps:
+            spoes.add(
+                (
+                    id2pred[p],
+                    text[mapping[sh][0] : mapping[st][1]],
+                    text[mapping[oh][0] : mapping[ot][1]],
+                )
+            )
+    return spoes
+
+
+def gplinker_decode_dense(
+    entity_logits, head_logits, tail_logits, l, text, mapping, id2pred, thresh=0.0
+) -> set:
+    ent = set(zip(*np.where(entity_logits > thresh)))
+    head = set(zip(*np.where(head_logits > thresh)))
+    tail = set(zip(*np.where(tail_logits > thresh)))
+    return gplinker_decode_cells(ent, head, tail, l, text, mapping, id2pred)
+
+
+# --------------------------------------------------------------------------
+# M14/M15: GPLinker event extraction + clique search + subset dedup
+# --------------------------------------------------------------------------
+class DedupList(list):
+    """append-if-absent list (decode_utils.py:18-22)."""
+
+    def append(self, x):  # noqa: A003
+        if x not in self:
+            super().append(x)
+
+
+def neighbors(host, argus, links):
+    results = [host]
+    for argu in argus:
+        if host[2:] + argu[2:] in links:
+            results.append(argu)
+    return list(sorted(results))
+
+
+def clique_search(argus, links):
+    """Maximal-complete-subgraph search (decode_utils.py:44-62): find a
+    non-adjacent pair, recurse on each one's neighbor set."""
+    Argus = DedupList()
+    for i1, (_, _, h1, t1) in enumerate(argus):
+        for i2, (_, _, h2, t2) in enumerate(argus):
+            if i2 > i1 and (h1, t1, h2, t2) not in links:
+                Argus.append(neighbors(argus[i1], argus, links))
+                Argus.append(neighbors(argus[i2], argus, links))
+    if Argus:
+        results = DedupList()
+        for A in Argus:
+            for a in clique_search(A, links):
+                results.append(a)
+        return results
+    return [list(sorted(argus))]
+
+
+def event_decode_cells(
+    argu_cells,
+    head_links,
+    tail_links,
+    l,
+    text,
+    mapping,
+    id2label,
+    split="@",
+    has_trigger=True,
+) -> list:
+    """Sparse event decode. argu_cells {(label_id,h,t)}; head_links/tail_links
+    {(lo,hi)} = link-grid positive cells at [0, min, max]. Returns a list of
+    events, each a list of (event_type, role, argument_text, start, end)
+    (modeling_gplinker.py:177-221)."""
+    argus = set()
+    for p, h, t in argu_cells:
+        if h >= (l - 1) or t >= (l - 1) or 0 in (h, t):
+            continue
+        etype, role = id2label[p].rsplit(split, 1)
+        argus.add((etype, role, int(h), int(t)))
+
+    links = set()
+    argu_list = list(argus)
+    for i1, (_, _, h1, t1) in enumerate(argu_list):
+        for i2, (_, _, h2, t2) in enumerate(argu_list):
+            if i2 > i1:
+                if (min(h1, h2), max(h1, h2)) in head_links and (
+                    min(t1, t2),
+                    max(t1, t2),
+                ) in tail_links:
+                    links.add((h1, t1, h2, t2))
+                    links.add((h2, t2, h1, t1))
+
+    events = []
+    for _, sub_argus in groupby(sorted(argus), key=lambda s: s[0]):
+        for event in clique_search(list(sub_argus), links):
+            events.append([])
+            for argu in event:
+                start, end = mapping[argu[2]][0], mapping[argu[3]][1]
+                events[-1].append((argu[0], argu[1], text[start:end], start, end))
+            if has_trigger and all(a[1] != TRIGGER_ROLE for a in event):
+                events.pop()
+    return events
+
+
+def event_isin(event_a, event_b) -> bool:
+    """event_a ⊆ event_b (decode_utils.py:25-32)."""
+    if event_a["event_type"] != event_b["event_type"]:
+        return False
+    return all(argu in event_b["arguments"] for argu in event_a["arguments"])
+
+
+def event_set2json(events) -> list:
+    """Subset-dedup'd event dicts (decode_utils.py:76-100)."""
+    event_list = DedupList()
+    for event in events:
+        final_event = {"event_type": event[0][0], "arguments": DedupList()}
+        for argu in event:
+            _, role = argu[0], argu[1]
+            if role != TRIGGER_ROLE:
+                final_event["arguments"].append({"role": role, "argument": argu[2]})
+            else:
+                final_event["trigger"] = argu[2]
+        event_list = [e for e in event_list if not event_isin(e, final_event)]
+        if not any(event_isin(final_event, e) for e in event_list):
+            event_list.append(final_event)
+    return event_list
+
+
+# --------------------------------------------------------------------------
+# M2: W2NER
+# --------------------------------------------------------------------------
+def w2ner_decode_grid(grid: dict, length: int, text: str, id2label) -> set:
+    """grid: sparse {(i, j): label} argmax grid (0 elsewhere); i, j are char
+    indices. NNW (=1) at [i, j] i<j chains next-char links; THW (>1) at
+    [tail, head] marks (head, tail, type). DFS from each head over NNW
+    chains, emitting paths that end at a registered tail
+    (modeling_w2ner.py:207-251). id2label includes the ["NONE","NNW"] prefix."""
+    forward_dict: dict = {}
+    head_dict: dict = {}
+    ht_type_dict: dict = {}
+    for (r, c), lab in grid.items():
+        if r >= length or c >= length:
+            continue
+        if lab == 1 and r < c:
+            forward_dict.setdefault(r, []).append(c)
+        if lab > 1 and r >= c:
+            ht_type_dict[(c, r)] = lab
+            head_dict.setdefault(c, set()).add(r)
+    for v in forward_dict.values():
+        v.sort()
+
+    predicts = []
+
+    def find_entity(key, entity, tails):
+        entity.append(key)
+        if key in tails:
+            predicts.append(entity.copy())
+        if key in forward_dict:
+            for k in forward_dict[key]:
+                find_entity(k, entity, tails)
+        entity.pop()
+
+    for head in head_dict:
+        find_entity(head, [], head_dict[head])
+
+    entities = set()
+    for ent in predicts:
+        entities.add(
+            (
+                id2label[ht_type_dict[(ent[0], ent[-1])]],
+                ent[0],
+                ent[-1] + 1,
+                "".join(text[i] for i in ent),
+            )
+        )
+    return entities
+
+
+# --------------------------------------------------------------------------
+# M16 helpers: UIE span pairing
+# --------------------------------------------------------------------------
+def get_bool_ids_greater_than(probs, limit=0.5, return_prob=False):
+    """Indices (optionally with probs) where prob > limit (decode_utils.py:90-115)."""
+    probs = np.array(probs)
+    if probs.ndim > 1:
+        return [get_bool_ids_greater_than(p, limit, return_prob) for p in probs]
+    result = []
+    for i, p in enumerate(probs):
+        if p > limit:
+            result.append((i, p) if return_prob else i)
+    return result
+
+
+def get_span(start_ids, end_ids, with_prob=False) -> set:
+    """Nearest start-end pairing without overlap (decode_utils.py:38-86)."""
+    if with_prob:
+        start_ids = sorted(start_ids, key=lambda x: x[0])
+        end_ids = sorted(end_ids, key=lambda x: x[0])
+    else:
+        start_ids = sorted(start_ids)
+        end_ids = sorted(end_ids)
+    sp, ep = 0, 0
+    couple_dict = {}
+    while sp < len(start_ids) and ep < len(end_ids):
+        s = start_ids[sp][0] if with_prob else start_ids[sp]
+        e = end_ids[ep][0] if with_prob else end_ids[ep]
+        if s == e:
+            couple_dict[end_ids[ep]] = start_ids[sp]
+            sp += 1
+            ep += 1
+        elif s < e:
+            couple_dict[end_ids[ep]] = start_ids[sp]
+            sp += 1
+        else:
+            ep += 1
+    return {(couple_dict[end], end) for end in couple_dict}
+
+
+def dbc2sbc(s: str) -> str:
+    """Full-width -> half-width normalization (decode_utils.py:118-130)."""
+    rs = ""
+    for char in s:
+        code = ord(char)
+        if code == 0x3000:
+            code = 0x0020
+        else:
+            code -= 0xFEE0
+        if not (0x0021 <= code <= 0x7E):
+            rs += char
+            continue
+        rs += chr(code)
+    return rs

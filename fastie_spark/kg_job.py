@@ -1,0 +1,82 @@
+"""End-to-end KG construction job: extract -> link -> canonicalize -> materialize.
+
+This is the north_rule pipeline in one callable, used by bench.py (the
+triples/sec metric times exactly this) and by tests. All stages are the
+DataFrame compositions defined in the sibling modules; the only Python-side
+loops are the CC iteration (driver-side, O(log n) rounds) and the decode
+logic inside the fused Arrow UDF.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cc import canonicalize, connected_components
+from .linking import link_mentions, link_triples
+from .materialize import build_graph_tables, materialize_snapshot
+from .pipeline import run_extraction
+from .scorer import Vocab
+from .text_extract import with_extracted_text
+
+
+def run_kg_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    vocab: Vocab,
+    linker: DataFrame,
+    alias_edges: DataFrame,
+    out_dir: str | None = None,
+    snapshot_id: str = "snap-000",
+    num_partitions: int | None = None,
+    n_buckets: int = 8,
+) -> dict:
+    """Returns dict with stage DataFrames and summary counts/timings."""
+    t0 = time.time()
+
+    extracted = with_extracted_text(pages.select("url", "html"))
+    stages = run_extraction(spark, extracted, vocab, num_partitions=num_partitions)
+
+    # stage 3: entity linking (broadcast dict join)
+    triples_linked = link_triples(stages["triples"], linker)
+    mentions_linked = link_mentions(stages["mentions"], linker)
+
+    # stage 4: canonicalization (union-find over alias edges)
+    components = connected_components(alias_edges)
+    triples_linked = canonicalize(triples_linked, components, "subj_id", "subj_comp")
+    triples_linked = canonicalize(triples_linked, components, "obj_id", "obj_comp")
+    mentions_linked = canonicalize(
+        mentions_linked, components, "entity_id", "entity_comp"
+    )
+
+    graph = build_graph_tables(triples_linked, mentions_linked)
+
+    result = {
+        "mentions": mentions_linked,
+        "triples": triples_linked,
+        "events": stages["events"],
+        "nodes": graph["nodes"],
+        "edges": graph["edges"],
+    }
+
+    if out_dir is not None:
+        manifest = materialize_snapshot(
+            triples_linked, out_dir, snapshot_id, n_buckets=n_buckets
+        )
+        graph["nodes"].write.mode("overwrite").parquet(f"{out_dir}/nodes")
+        graph["edges"].write.mode("overwrite").parquet(f"{out_dir}/edges")
+        result["manifest"] = manifest
+
+    counts = (
+        stages["_raw"]
+        .groupBy("kind")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    result["counts"] = {r["kind"]: r["n"] for r in counts}
+    result["n_triples"] = triples_linked.count()
+    result["wall_sec"] = time.time() - t0
+    stages["_raw"].unpersist()
+    return result

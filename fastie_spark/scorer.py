@@ -1,0 +1,190 @@
+"""Deterministic dictionary-driven grid scorer — the dependency-free "model".
+
+The sandbox has no torch/transformers (SURVEY.md §7.0), so the encoder+head
+forward pass is replaced by a deterministic scorer with the same *interface*
+as the reference models' score grids:
+
+  GlobalPointer NER   -> [C, L, L] span-score grid
+     (/root/reference/fastie/models/named_entity_recognition/global_pointer/
+      modeling_gp.py:126, decoded at :145-170)
+  GPLinker RE         -> entity [2, L, L], head [P, L, L], tail [P, L, L]
+     (.../relation_extraction/gplinker/modeling_gplinker.py:137-141,
+      decoded at :164-213)
+  GPLinker events     -> argu [R, L, L], head/tail link grids [1, L, L]
+     (.../event_extraction/gplinker/modeling_gplinker.py:157-221)
+  W2NER               -> argmax label grid [L, L] (NNW=1, THW=label)
+     (.../named_entity_recognition/w2ner/modeling_w2ner.py:197-254)
+
+Scoring rule: a grid cell is positive (+1.0 logit) iff the corresponding
+text span matches a vocabulary surface form (all occurrences, overlapping
+included), else negative (-1.0) — i.e. the "model" is an exact-dictionary
+extractor. Scores are computed per chunk, never across batch boundaries, so
+results are partitioning-invariant (SURVEY.md §7.2d). The decoders
+(decoders.py) then implement the reference decode semantics verbatim over
+these grids; the same scorer runs inside the single-process oracle and the
+Spark UDFs, bit-for-bit.
+
+Sparse representation: cells are returned as sets/dicts keyed by index, with
+an implied dense fill of -1.0. ``decoders.dense_*`` helpers materialize real
+numpy grids from them for the reference-exact dense decode used in tests;
+the production path decodes the sparse cells directly (identical output,
+since -1.0 < every decode threshold used).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .tokenizer import char_span_to_token_span
+
+POS = 1.0  # logit assigned to dictionary hits
+NEG = -1.0  # implied fill everywhere else
+
+
+@dataclass
+class Vocab:
+    """Broadcastable extraction vocabulary (the 'weights' of the scorer).
+
+    entity_vocab:   [(surface, label)]
+    relation_vocab: [(subj_surface, predicate, obj_surface)]
+    event_vocab:    [(event_type, [(role, argument_surface), ...])] — one
+                    entry per event *instance* pattern; the trigger is the
+                    role "触发词" per fastie/data/event_extraction.py:43-50.
+    """
+
+    entity_vocab: list = field(default_factory=list)
+    relation_vocab: list = field(default_factory=list)
+    event_vocab: list = field(default_factory=list)
+
+    # --- label universes: sorted-distinct, frozen like apply_config does
+    # (modeling_gp.py:94-97, modeling_gplinker.py:101-104) ---
+    def ner_labels(self) -> list:
+        return sorted({lbl for _, lbl in self.entity_vocab})
+
+    def predicates(self) -> list:
+        return sorted({p for _, p, _ in self.relation_vocab})
+
+    def event_labels(self) -> list:
+        # schema-file semantics: trigger role prepended per event type
+        labels = set()
+        for etype, args in self.event_vocab:
+            labels.add(f"{etype}@触发词")
+            for role, _ in args:
+                labels.add(f"{etype}@{role}")
+        return sorted(labels)
+
+
+def find_all(text: str, sub: str) -> list:
+    """All (overlapping) occurrence start offsets of sub in text."""
+    if not sub:
+        return []
+    out, i = [], text.find(sub)
+    while i != -1:
+        out.append(i)
+        i = text.find(sub, i + 1)
+    return out
+
+
+def _occurrences(masked_text: str, surface: str, max_len: int) -> list:
+    """Token spans (s_tok, e_tok inclusive) of surface occurrences that
+    survive truncation to max_len-2 content tokens."""
+    trunc = min(len(masked_text), max_len - 2)
+    spans = []
+    for s in find_all(masked_text, surface):
+        e = s + len(surface)
+        if e <= trunc:
+            spans.append(char_span_to_token_span(s, e))
+    return spans
+
+
+class DictScorer:
+    """Per-chunk sparse grid scorer over a Vocab."""
+
+    def __init__(self, vocab: Vocab, max_length: int = 512):
+        self.vocab = vocab
+        self.max_length = max_length
+        self.ner_label2id = {l: i for i, l in enumerate(vocab.ner_labels())}
+        self.pred2id = {p: i for i, p in enumerate(vocab.predicates())}
+        self.event_label2id = {l: i for i, l in enumerate(vocab.event_labels())}
+        # surfaces are matched against space-masked text; masking the vocab
+        # side keeps surfaces containing spaces matchable (P3 invariant)
+        self._masked_entities = [
+            (surf.replace(" ", "-"), lbl) for surf, lbl in vocab.entity_vocab
+        ]
+        self._masked_relations = [
+            (s.replace(" ", "-"), p, o.replace(" ", "-"))
+            for s, p, o in vocab.relation_vocab
+        ]
+        self._masked_events = [
+            (etype, [(role, arg.replace(" ", "-")) for role, arg in args])
+            for etype, args in vocab.event_vocab
+        ]
+
+    # ---- M1: GlobalPointer NER grid --------------------------------------
+    def ner_cells(self, masked_text: str) -> set:
+        """{(label_id, s_tok, e_tok)} with logit POS; fill NEG elsewhere."""
+        cells = set()
+        for surf, lbl in self._masked_entities:
+            lid = self.ner_label2id[lbl]
+            for s_tok, e_tok in _occurrences(masked_text, surf, self.max_length):
+                cells.add((lid, s_tok, e_tok))
+        return cells
+
+    # ---- M8: GPLinker RE grids -------------------------------------------
+    def re_cells(self, masked_text: str):
+        """(entity_cells {(r,h,t)}, head_cells {(p,sh,oh)}, tail_cells {(p,st,ot)})."""
+        ent, head, tail = set(), set(), set()
+        for subj, pred, obj in self._masked_relations:
+            p = self.pred2id[pred]
+            subj_occ = _occurrences(masked_text, subj, self.max_length)
+            obj_occ = _occurrences(masked_text, obj, self.max_length)
+            for sh, st in subj_occ:
+                ent.add((0, sh, st))
+            for oh, ot in obj_occ:
+                ent.add((1, oh, ot))
+            for sh, st in subj_occ:
+                for oh, ot in obj_occ:
+                    head.add((p, sh, oh))
+                    tail.add((p, st, ot))
+        return ent, head, tail
+
+    # ---- M14: GPLinker event grids ---------------------------------------
+    def event_cells(self, masked_text: str):
+        """(argu_cells {(label_id,h,t)}, head_links {(h_min,h_max)},
+        tail_links {(t_min,t_max)})."""
+        argu, head, tail = set(), set(), set()
+        for etype, args in self._masked_events:
+            occ = []  # one occurrence set per (role, argument)
+            for role, arg in args:
+                lid = self.event_label2id[f"{etype}@{role}"]
+                spans = _occurrences(masked_text, arg, self.max_length)
+                for h, t in spans:
+                    argu.add((lid, h, t))
+                if spans:
+                    occ.append(spans[0])  # link via first occurrence
+            for i in range(len(occ)):
+                for j in range(i + 1, len(occ)):
+                    (h1, t1), (h2, t2) = occ[i], occ[j]
+                    head.add((min(h1, h2), max(h1, h2)))
+                    tail.add((min(t1, t2), max(t1, t2)))
+        return argu, head, tail
+
+    # ---- M2: W2NER argmax label grid -------------------------------------
+    def w2ner_grid(self, text: str) -> dict:
+        """{(i, j): label} sparse argmax grid over *char* indices (W2NER
+        indexes raw text positions, no CLS shift — modeling_w2ner.py:207-251).
+        NNW=1 at [i, i+1] along the span; THW=label_id+2 at [tail, head]
+        (labels are prepended with ["NONE","NNW"], modeling_w2ner.py:114-117).
+        First write wins (deterministic argmax tie-break)."""
+        grid: dict = {}
+        trunc = min(len(text), self.max_length - 2)
+        for surf, lbl in sorted(self._masked_entities):
+            lid = self.ner_label2id[lbl] + 2
+            for s in find_all(text, surf):
+                e = s + len(surf)  # exclusive char end
+                if e > trunc:
+                    continue
+                for i in range(s, e - 1):
+                    grid.setdefault((i, i + 1), 1)
+                grid.setdefault((e - 1, s), lid)
+        return grid

@@ -1,0 +1,51 @@
+"""Deterministic character-level tokenizer with HF-fast-tokenizer offset
+contract (SURVEY.md §2.3 T1/T2).
+
+Reproduces the invariants of the reference's fast-tokenizer usage
+(/root/reference/fastie/models/named_entity_recognition/global_pointer/
+decode_utils.py:142-153): ``[CLS] tok... [SEP]`` framing, truncation to
+``max_length`` (so at most ``max_length - 2`` content tokens),
+``offset_mapping`` of ``(char_start, char_end_exclusive)`` pairs with
+``(0, 0)`` for special tokens, and a sequence-length "attention mask sum"
+used by the decoders to exclude CLS/SEP/PAD cells.
+
+One token per character is the natural deterministic choice for a
+dependency-free engine (exactly what BERT-style Chinese tokenizers do for
+CJK text) and makes char<->token alignment trivial: token ``i`` covers
+chars ``[i-1, i)``. No torch/transformers dependency.
+"""
+
+from __future__ import annotations
+
+CLS_ID = 1
+SEP_ID = 2
+UNK_ID = 3
+_VOCAB_OFFSET = 10  # ids below this are reserved for specials
+
+
+def char_to_id(ch: str) -> int:
+    """Stable id for a character (codepoint-shifted; no lookup table)."""
+    return ord(ch) + _VOCAB_OFFSET
+
+
+def encode(text: str, max_length: int = 512) -> dict:
+    """Tokenize one (already space-masked) chunk.
+
+    Returns dict with:
+      input_ids:      [CLS] + char ids (truncated to max_length-2) + [SEP]
+      offset_mapping: [(0,0)] + [(i, i+1), ...] + [(0,0)]
+      seq_len:        len(input_ids)  (== attention_mask.sum() unpadded)
+    """
+    n = min(len(text), max_length - 2)
+    input_ids = [CLS_ID] + [char_to_id(c) for c in text[:n]] + [SEP_ID]
+    offsets = [(0, 0)] + [(i, i + 1) for i in range(n)] + [(0, 0)]
+    return {"input_ids": input_ids, "offset_mapping": offsets, "seq_len": n + 2}
+
+
+def char_span_to_token_span(start: int, end: int) -> tuple[int, int]:
+    """Map a char span [start, end) to inclusive token indices (s_tok, e_tok).
+
+    With one token per char and a leading CLS, char ``i`` is token ``i+1``;
+    the inclusive end token of char span end-exclusive ``end`` is ``end``.
+    """
+    return start + 1, end

@@ -1,0 +1,134 @@
+"""Entity linking, connected-components canonicalization, graph
+materialization, and checkpoint/resume idempotence."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastie_spark.cc import connected_components
+from fastie_spark.fixtures import build_alias_edges, build_linker_dict
+from fastie_spark.kg_job import run_kg_job
+from fastie_spark.linking import link_mentions, normalize_surface, prepare_linker_dict
+from fastie_spark.materialize import materialize_snapshot, read_manifest
+
+
+@pytest.fixture(scope="module")
+def linker_df(spark, vocab):
+    return spark.createDataFrame(
+        build_linker_dict(vocab),
+        "alias string, canonical_id string, entity_type string, prior double",
+    )
+
+
+@pytest.fixture(scope="module")
+def alias_fixture(vocab):
+    return build_alias_edges(vocab)
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark, alias_fixture):
+    return spark.createDataFrame(alias_fixture[0], "src string, dst string")
+
+
+def test_normalize_surface(spark):
+    df = spark.createDataFrame([("Ａｂｃ　Ｘ",), ("MiXeD",)], "s string")
+    out = [r["n"] for r in df.select(normalize_surface(F.col("s")).alias("n")).collect()]
+    assert out == ["abc x", "mixed"]
+
+
+def test_linking_exact_and_variant(spark, vocab, linker_df, pages_df):
+    """Every mention whose surface is a vocab entity links to that entity's
+    canonical id (the fixture dictionary covers all vocab surfaces)."""
+    surf, lbl = vocab.entity_vocab[0]
+    m = spark.createDataFrame(
+        [("u1", lbl, 0, len(surf), surf),
+         ("u1", lbl, 0, len(surf), surf.lower()),
+         ("u2", "mis", 0, 3, "完全未知表面形式XYZQ")],
+        "url string, label string, start long, end long, surface string",
+    )
+    out = {(r["surface"], r["entity_id"]) for r in link_mentions(m, linker_df).collect()}
+    assert (surf, "Q00000") in out
+    assert (surf.lower(), "Q00000") in out  # case-normalized alias
+    assert ("完全未知表面形式XYZQ", None) in out  # NIL mention stays null
+    # broadcast join: dictionary side must be 1 row per normalized alias
+    prepared = prepare_linker_dict(linker_df)
+    assert prepared.groupBy("alias_norm").count().filter("count > 1").count() == 0
+
+
+def test_connected_components_exact(spark, edges_df, alias_fixture):
+    _, expected = alias_fixture
+    got = {r["node"]: r["component"] for r in connected_components(edges_df).collect()}
+    # every node present in an edge must resolve to its cluster min
+    for node, comp in got.items():
+        assert comp == expected[node], node
+    # all multi-node clusters are covered
+    multi = {n for n, c in expected.items() if
+             sum(1 for x in expected.values() if x == c) > 1}
+    assert multi.issubset(got.keys())
+
+
+def test_cc_handles_chain_and_cycle(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_kg_job_end_to_end(spark, pages_df, vocab, linker_df, edges_df, tmp_path):
+    out_dir = str(tmp_path / "graph")
+    res = run_kg_job(spark, pages_df, vocab, linker_df, edges_df,
+                     out_dir=out_dir, snapshot_id="s1", n_buckets=4)
+    assert res["n_triples"] > 50
+    assert res["counts"].get("mention", 0) > 100
+    # materialized tables exist and provenance counts match the manifest
+    prov = spark.read.parquet(os.path.join(out_dir, "provenance"))
+    man = read_manifest(out_dir, "s1")
+    assert sum(b["triples"] for b in man["buckets"].values()) == prov.count()
+    nodes = spark.read.parquet(os.path.join(out_dir, "nodes"))
+    edges = spark.read.parquet(os.path.join(out_dir, "edges"))
+    assert nodes.count() > 0 and edges.count() > 0
+    # lineage columns present
+    assert {"snapshot_id", "partition_id", "bucket"} <= set(prov.columns)
+
+
+def test_resume_idempotent(spark, pages_df, vocab, linker_df, edges_df, tmp_path):
+    """Simulate a crash after 2 of 4 buckets: resume must produce exactly
+    the same provenance table as an uninterrupted run."""
+    from fastie_spark.linking import link_triples
+    from fastie_spark.pipeline import run_extraction
+    from fastie_spark.text_extract import with_extracted_text
+
+    ext = with_extracted_text(pages_df.select("url", "html"))
+    triples = run_extraction(spark, ext, vocab, num_partitions=4,
+                             do_events=False, persist=False)["triples"]
+    linked = link_triples(triples, linker_df)
+    linked = linked.withColumn("subj_comp", F.col("subj_id")).withColumn(
+        "obj_comp", F.col("obj_id"))
+
+    full_dir = str(tmp_path / "full")
+    materialize_snapshot(linked, full_dir, "s2", n_buckets=4)
+
+    # partial run: only buckets 0,1 marked complete (simulate by writing the
+    # manifest as if a crash happened after bucket 0/1 commit)
+    part_dir = str(tmp_path / "partial")
+    materialize_snapshot(linked.filter(F.pmod(F.xxhash64("url"), F.lit(4)) < 2),
+                         part_dir, "s2", n_buckets=4)
+    man = read_manifest(part_dir, "s2")
+    man["buckets"] = {k: v for k, v in man["buckets"].items() if k in ("0", "1")}
+    from fastie_spark.materialize import write_manifest
+    write_manifest(part_dir, man)
+
+    # resume fills buckets 2,3 only
+    materialize_snapshot(linked, part_dir, "s2", n_buckets=4)
+
+    a = spark.read.parquet(os.path.join(full_dir, "provenance"))
+    b = spark.read.parquet(os.path.join(part_dir, "provenance"))
+    cols = ["url", "subj", "pred", "obj", "bucket", "snapshot_id"]
+    assert a.count() == b.count()
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+    man2 = read_manifest(part_dir, "s2")
+    assert set(man2["buckets"]) == {"0", "1", "2", "3"}
