@@ -1,0 +1,181 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+- Headline relational/text operators run at $SPARK_GRAFT_SF_DIR (default
+  /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; each timed with a noop
+  sink so write cost doesn't pollute the operator time.
+- The KG end-to-end job (extract -> link -> canonicalize -> materialize)
+  runs on a deterministically synthesized pages table (seed fixed, size
+  scaled by sf); `value` is its wall seconds and `kg_triples_per_sec` the
+  BASELINE.md throughput metric.
+- SPARK_GRAFT_SCALING=1 additionally reruns the same KG job at local[8] and
+  local[32] on the same parquet input and reports scaling efficiency
+  (the BASELINE.md two-cluster-size criterion, sandbox proxy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from fastie_spark.fixtures import (  # noqa: E402
+    build_alias_edges,
+    build_linker_dict,
+    build_pages,
+    build_vocab,
+)
+from fastie_spark.kg_job import run_kg_job  # noqa: E402
+from fastie_spark.session import get_spark, local_df  # noqa: E402
+from fastie_spark.textops import REGISTRY  # noqa: E402
+
+HEADLINE = [
+    "chunk_explode", "dedup_exact", "token_stats", "lang_id", "quality_score",
+    "doc_fingerprint", "minhash_signature", "near_dup_pairs", "knn_cosine",
+    "micro_prf",
+]
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def synth_pages(spark, n_docs: int, path: str):
+    """Distributed deterministic synthesis: one row per index via
+    build_page_row (seeded per doc), generated inside a mapInPandas stage so
+    100k+ pages don't bottleneck on the driver."""
+    if os.path.exists(path):
+        return
+    vocab = build_vocab()
+
+    def gen(batches):
+        import pandas as pd
+
+        from fastie_spark.fixtures import build_page_row
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [build_page_row(vocab, int(i)) for i in pdf["id"]]
+            )
+
+    (
+        spark.range(n_docs).repartition(32)
+        .mapInPandas(gen, PAGES_SCHEMA)
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def kg_run(master: str, pages_path: str, shuffle_partitions: int) -> dict:
+    """Cold + warm (steady-state) timing of the e2e KG job. The warm run is
+    the throughput/scaling number: it excludes one-time session costs
+    (python-worker imports, codegen compile, parquet footer cache) that a
+    long-running 100 TB job amortizes to zero."""
+    spark = get_spark(master=master, app_name=f"kg_bench_{master}",
+                      shuffle_partitions=shuffle_partitions)
+    vocab = build_vocab()
+    linker = local_df(
+        spark, build_linker_dict(vocab),
+        "alias string, canonical_id string, entity_type string, prior double",
+    )
+    er, _ = build_alias_edges(vocab)
+    edges = local_df(spark, er, "src string, dst string")
+    pages = spark.read.parquet(pages_path)
+    walls, n = [], 0
+    for _ in range(2):
+        out_dir = tempfile.mkdtemp(prefix="kg_bench_")
+        t0 = time.time()
+        res = run_kg_job(spark, pages, vocab, linker, edges, out_dir=out_dir,
+                         snapshot_id="bench", n_buckets=32)
+        walls.append(time.time() - t0)
+        n = res["n_triples"]
+        for df in (res["mentions"], res["triples"], res["events"]):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+    wall = walls[-1]
+    return {"wall_sec": wall, "cold_wall_sec": walls[0], "n_triples": n,
+            "triples_per_sec": n / wall if wall else 0.0}
+
+
+def kg_run_subprocess(master: str, pages_path: str, shuf: int) -> dict:
+    """Each KG run in a fresh process: stopped sessions leave python daemon
+    workers and JVM state behind that measurably degrade later sessions in
+    the same process — subprocess isolation keeps the scaling comparison
+    honest."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--kg-run", master,
+         pages_path, str(shuf)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--kg-run":
+        print(json.dumps(kg_run(sys.argv[2], sys.argv[3], int(sys.argv[4]))))
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", str(int(6000000 * sf))))
+
+    pages_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"), f"bench_pages_{n_docs}.parquet"
+    )
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench",
+                      shuffle_partitions=cpus)
+    synth_pages(spark, n_docs, pages_path)
+
+    qtimes = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        df = fn(spark, sf_dir)
+        t0 = time.time()
+        _noop(df)
+        qtimes[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    # KG end-to-end at the main parallelism (fresh subprocess)
+    main_run = kg_run_subprocess(f"local[{cpus}]", pages_path, cpus)
+    qtimes["kg_end_to_end"] = round(main_run["wall_sec"], 3)
+
+    result = {
+        "metric": "kg_e2e_wall_sec",
+        "value": round(main_run["wall_sec"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "kg_docs": n_docs,
+        "kg_triples": main_run["n_triples"],
+        "kg_triples_per_sec": round(main_run["triples_per_sec"], 1),
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        r8 = kg_run_subprocess("local[8]", pages_path, 8)
+        r32 = kg_run_subprocess("local[32]", pages_path, 32)
+        eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / (32 / 8)
+        result["scaling"] = {
+            "local8": {k: round(v, 3) for k, v in r8.items()},
+            "local32": {k: round(v, 3) for k, v in r32.items()},
+            "efficiency_8_to_32": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,13 +23,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(spark, pairs) -> DataFrame:
+    """Broadcast-scale fast path: classic union-find with path compression
+    on the driver. Same output contract (component = min node id). Chosen
+    adaptively like a broadcast join: below the threshold the whole edge
+    set fits comfortably on the driver and the iterative-join machinery is
+    pure overhead."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # attach larger root under smaller -> min-id roots, deterministic
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    rows = sorted((n, find(n)) for n in parent)
+    from .session import local_df
+
+    return local_df(
+        spark,
+        [{"node": n, "component": c} for n, c in rows],
+        "node string, component string",
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """edges(src, dst) -> (node, component) with component = min node id."""
+    """edges(src, dst) -> (node, component) with component = min node id.
+
+    Adaptive strategy: if the (deduped) edge set is below
+    ``broadcast_threshold`` rows it is collected and solved with driver-side
+    union-find (one job); otherwise the distributed min-label-propagation +
+    pointer-jumping loop below runs (the 100 TB path)."""
+    if broadcast_threshold:
+        small = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        n = small.limit(broadcast_threshold + 1).count()
+        if n <= broadcast_threshold:
+            pairs = [(r["u"], r["v"]) for r in small.collect()]
+            return _driver_union_find(edges.sparkSession, pairs)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

@@ -108,52 +108,55 @@ _FILLER = [
 ]
 
 
+_BASE_TS = dt.datetime(2024, 10, 22, 0, 0, 0)
+
+
+def build_page_row(vocab: Vocab, i: int, seed: int = 7,
+                   p_long: float = 0.15) -> dict:
+    """One deterministic page row, seeded per (seed, doc index) so
+    generation is embarrassingly parallel (distributed synthesis in bench)."""
+    rng = np.random.default_rng((seed, i))
+    rels = vocab.relation_vocab
+    ents = vocab.entity_vocab
+    evs = vocab.event_vocab
+    sents = []
+    n_sent = int(rng.integers(2, 8))
+    for _ in range(n_sent):
+        r = rng.random()
+        if r < 0.45 and rels:
+            s, p, o = rels[int(rng.integers(0, len(rels)))]
+            sents.append(f"{s}与{o}之间存在{p}关系。")
+        elif r < 0.65 and ents:
+            surf, lbl = ents[int(rng.integers(0, len(ents)))]
+            sents.append(f"本文提到了{surf}这一{lbl}实体。")
+        elif r < 0.75 and evs:
+            etype, args = evs[int(rng.integers(0, len(evs)))]
+            body = "，".join(f"{role}为{arg}" for role, arg in args)
+            sents.append(f"发生{etype}事件：{body}。")
+        else:
+            sents.append(_FILLER[int(rng.integers(0, len(_FILLER)))])
+    text = "".join(sents)
+    if rng.random() < p_long:
+        while len(text) <= 510:
+            text = text + text
+    text = text[:1500]
+    url = f"https://example.org/doc/{i:08d}"
+    lang = "zh" if rng.random() < 0.7 else "en"
+    return {
+        "url": url,
+        "warc_ts": _BASE_TS + dt.timedelta(seconds=i),
+        "html": wrap_html(text, url),
+        "text": text,
+        "lang": lang,
+    }
+
+
 def build_pages(vocab: Vocab, n_docs: int = 200, seed: int = 7,
                 p_long: float = 0.15) -> list[dict]:
     """Synthesize the pages table rows. Text is sentence templates over the
     vocab so the dictionary scorer fires; some docs exceed 510 chars to
     exercise the chunk/rejoin path; latin sentences carry real spaces."""
-    rng = np.random.default_rng(seed)
-    rels = vocab.relation_vocab
-    ents = vocab.entity_vocab
-    evs = vocab.event_vocab
-    base_ts = dt.datetime(2024, 10, 22, 0, 0, 0)
-
-    pages = []
-    for i in range(n_docs):
-        sents = []
-        n_sent = int(rng.integers(2, 8))
-        for _ in range(n_sent):
-            r = rng.random()
-            if r < 0.45 and rels:
-                s, p, o = rels[int(rng.integers(0, len(rels)))]
-                sents.append(f"{s}与{o}之间存在{p}关系。")
-            elif r < 0.65 and ents:
-                surf, lbl = ents[int(rng.integers(0, len(ents)))]
-                sents.append(f"本文提到了{surf}这一{lbl}实体。")
-            elif r < 0.75 and evs:
-                etype, args = evs[int(rng.integers(0, len(evs)))]
-                body = "，".join(f"{role}为{arg}" for role, arg in args)
-                sents.append(f"发生{etype}事件：{body}。")
-            else:
-                sents.append(_FILLER[int(rng.integers(0, len(_FILLER)))])
-        text = "".join(sents)
-        if rng.random() < p_long:
-            while len(text) <= 510:
-                text = text + text
-        text = text[:1500]
-        url = f"https://example.org/doc/{i:08d}"
-        lang = "zh" if rng.random() < 0.7 else "en"
-        pages.append(
-            {
-                "url": url,
-                "warc_ts": base_ts + dt.timedelta(seconds=i),
-                "html": wrap_html(text, url),
-                "text": text,
-                "lang": lang,
-            }
-        )
-    return pages
+    return [build_page_row(vocab, i, seed, p_long) for i in range(n_docs)]
 
 
 _HTML_PRE = "<!DOCTYPE html><html><head><meta charset=\"utf-8\"><title>{url}</title></head><body><article>"

@@ -105,11 +105,8 @@ def materialize_snapshot(
     todo = [b for b in range(n_buckets) if str(b) not in done]
     if todo:
         spark = triples_linked.sparkSession
-        pending = prov.filter(F.col(BUCKET_COL).isin(todo)).persist()
-        counts = {
-            r[BUCKET_COL]: r["n"]
-            for r in pending.groupBy(BUCKET_COL).agg(F.count("*").alias("n")).collect()
-        }
+        pending = prov.filter(F.col(BUCKET_COL).isin(todo))
+        prov_dir = os.path.join(out_dir, "provenance")
         # dynamic partition overwrite = idempotent per-bucket commit: a crash
         # between data write and manifest update just rewrites those buckets
         # on resume instead of appending duplicates (MERGE-like semantics,
@@ -118,13 +115,25 @@ def materialize_snapshot(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
-                pending.write.mode("overwrite")
+                # one task per bucket -> one file per bucket partition, not
+                # n_buckets × shuffle_partitions small files
+                pending.repartition(len(todo), F.col(BUCKET_COL))
+                .write.mode("overwrite")
                 .partitionBy(BUCKET_COL)
-                .parquet(os.path.join(out_dir, "provenance"))
+                .parquet(prov_dir)
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        pending.unpersist()
+        # lineage counts from the committed files (cheap metadata-ish scan)
+        # instead of a second full pass over the upstream pipeline
+        counts = {
+            r[BUCKET_COL]: r["n"]
+            for r in spark.read.parquet(prov_dir)
+            .filter(F.col(BUCKET_COL).isin(todo))
+            .groupBy(BUCKET_COL)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
         for b in todo:
             manifest["buckets"][str(b)] = {"triples": int(counts.get(b, 0))}
         write_manifest(out_dir, manifest)

@@ -33,3 +33,64 @@ def micro_prf_df(pred: DataFrame, gold: DataFrame, keys: list[str]) -> DataFrame
 def micro_prf(pred: DataFrame, gold: DataFrame, keys: list[str]) -> dict:
     row = micro_prf_df(pred, gold, keys).collect()[0]
     return row.asDict()
+
+
+def _event_arrays(events: DataFrame, require_trigger: bool) -> DataFrame:
+    """(url, event_key, ...) rows -> one row per distinct event with its
+    sorted argument array incl. the synthetic trigger tuple — the reference
+    compares events as sorted tuple lists
+    (precision_recall_fscore.py:44-55)."""
+    args = events.select(
+        "url", "event_key",
+        F.struct("event_type", "role", "argument").alias("a"),
+    )
+    trig = (
+        events.filter(F.col("trigger").isNotNull())
+        .select(
+            "url", "event_key",
+            F.struct(
+                "event_type", F.lit("触发词").alias("role"),
+                F.col("trigger").alias("argument"),
+            ).alias("a"),
+        )
+        .dropDuplicates(["url", "event_key"])
+    )
+    ev = (
+        args.union(trig)
+        .groupBy("url", "event_key")
+        .agg(F.sort_array(F.collect_set("a")).alias("event"))
+    )
+    if require_trigger:
+        ev = ev.filter(
+            F.exists("event", lambda a: a["role"] == F.lit("触发词"))
+        )
+    # DedupList semantics: identical events within a doc count once
+    return ev.select("url", "event").dropDuplicates(["url", "event"])
+
+
+def event_prf(pred: DataFrame, gold: DataFrame) -> dict:
+    """A2: event-level (exact sorted-argument-list match, trigger-bearing
+    predictions only) + argument-level (tuples excl. trigger) micro P/R/F1
+    (precision_recall_fscore.py:38-74)."""
+    pe = _event_arrays(pred, require_trigger=True)
+    ge = _event_arrays(gold, require_trigger=False)
+    e_tp = pe.join(ge, ["url", "event"], "inner").count()
+    e_pred, e_gold = pe.count(), ge.count()
+
+    keys = ["url", "event_type", "role", "argument"]
+    pa = pred.select(*keys).dropDuplicates(keys)
+    ga = gold.select(*keys).dropDuplicates(keys)
+    a_tp = pa.join(ga, keys, "inner").count()
+    a_pred, a_gold = pa.count(), ga.count()
+
+    def prf(tp, np_, ng):
+        p = tp / np_ if np_ else 0.0
+        r = tp / ng if ng else 0.0
+        return p, r, (2 * p * r / (p + r) if p + r else 0.0)
+
+    ep, er, ef = prf(e_tp, e_pred, e_gold)
+    ap, ar, af = prf(a_tp, a_pred, a_gold)
+    return {
+        "event_precision": ep, "event_recall": er, "event_f1": ef,
+        "argu_precision": ap, "argu_recall": ar, "argu_f1": af,
+    }

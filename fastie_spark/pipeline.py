@@ -163,6 +163,111 @@ def make_extract_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
     return fn
 
 
+def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
+                      do_events: bool = True, from_html: bool = True):
+    """Whole-document fused stage: html->text (P-extract), chunking (P6),
+    space-mask (P3), tokenize (T1), score, decode (M1/M8/M14), chunk-rejoin
+    (J1/J2) — all inside ONE Arrow batch pass, one row per page in.
+
+    Why fused: each extra python stage costs a JVM<->Arrow boundary and a
+    scheduler barrier, and the J2 per-doc set union becomes a free in-memory
+    dedup here (urls are unique, so no global dedup shuffle is needed at
+    all). The relational chunker in chunk_pages stays available as a
+    standalone operator; this is the throughput path for the e2e job.
+    """
+    from .chunking import char_bases, split_one
+    from .text_extract import extract_text_py
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = DictScorer(vocab, max_length)
+        ner_id2label = dict(enumerate(vocab.ner_labels()))
+        re_id2pred = dict(enumerate(vocab.predicates()))
+        event_id2label = dict(enumerate(vocab.event_labels()))
+        src_col = "html" if from_html else "text"
+
+        for pdf in batches:
+            rows = []
+            for url, src in zip(pdf["url"], pdf[src_col]):
+                text = extract_text_py(src) if from_html else src
+                chunks = split_one(text, max_length - 2)
+                bases = char_bases(chunks)
+                doc_triples: set = set()
+                for chunk_idx, (chunk, base) in enumerate(zip(chunks, bases)):
+                    masked = chunk.replace(" ", "-")
+                    enc = encode(masked, max_length)
+                    l, mapping = enc["seq_len"], enc["offset_mapping"]
+                    for lbl, s, e, surf in gp_decode_cells(
+                        scorer.ner_cells(masked), l, chunk, mapping, ner_id2label
+                    ):
+                        rows.append(
+                            (url, "mention", lbl, s + base, e + base, surf,
+                             None, None, None, None, None, None, None, None)
+                        )
+                    ent, head, tail = scorer.re_cells(masked)
+                    doc_triples |= gplinker_decode_cells(
+                        ent, head, tail, l, chunk, mapping, re_id2pred
+                    )
+                    if do_events and chunk_idx == 0:
+                        argu, eh, et = scorer.event_cells(masked)
+                        for ev in event_set2json(
+                            event_decode_cells(
+                                argu, eh, et, l, chunk, mapping, event_id2label
+                            )
+                        ):
+                            args = [(a["role"], a["argument"])
+                                    for a in ev["arguments"]]
+                            key = _event_key(url, ev["event_type"],
+                                             ev.get("trigger"), args)
+                            for role, arg in args:
+                                rows.append(
+                                    (url, "event", None, None, None, None,
+                                     None, None, None, ev["event_type"],
+                                     ev.get("trigger"), role, arg, key)
+                                )
+                for pred, subj, obj in doc_triples:  # J2 union done in-doc
+                    rows.append(
+                        (url, "triple", None, None, None, None,
+                         subj, pred, obj, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "kind", "label", "start", "end", "surface",
+                    "subj", "pred", "obj", "event_type", "trigger", "role",
+                    "argument", "event_key",
+                ],
+            )
+
+    return fn
+
+
+def run_extraction_fused(
+    spark: SparkSession,
+    pages: DataFrame,
+    vocab: Vocab,
+    num_partitions: int | None = None,
+    do_events: bool = True,
+    from_html: bool = True,
+    persist: bool = True,
+) -> dict:
+    """Fused-stage variant of run_extraction. pages needs (url, html) when
+    from_html else (url, text). Triples come out already per-doc-deduped
+    (J2), so no dropDuplicates shuffle."""
+    cols = ["url", "html" if from_html else "text"]
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    src = repartition_by_url(pages.select(*cols), parts)
+    raw = src.mapInPandas(
+        make_fused_doc_fn(vocab, do_events=do_events, from_html=from_html),
+        schema=EXTRACT_SCHEMA,
+    )
+    if persist:
+        raw = raw.persist()
+    mentions = raw.filter(F.col("kind") == "mention").select(*MENTION_COLS)
+    triples = raw.filter(F.col("kind") == "triple").select(*TRIPLE_COLS)
+    events = raw.filter(F.col("kind") == "event").select(*EVENT_COLS)
+    return {"mentions": mentions, "triples": triples, "events": events, "_raw": raw}
+
+
 def run_extraction(
     spark: SparkSession,
     pages: DataFrame,

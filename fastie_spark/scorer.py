@@ -169,6 +169,177 @@ class DictScorer:
                     tail.add((min(t1, t2), max(t1, t2)))
         return argu, head, tail
 
+    # ---- M5: span-NER per-token start/end argmax labels -------------------
+    def span_arrays(self, masked_text: str):
+        """(start_labels, end_labels) over token positions, 0='O'; label ids
+        offset by 1 (['O'] + sorted schemas, modeling_span.py:77-79).
+        First write wins on conflicts (deterministic argmax tie-break)."""
+        from .tokenizer import encode
+
+        l = encode(masked_text, self.max_length)["seq_len"]
+        starts, ends = [0] * l, [0] * l
+        for surf, lbl in sorted(self._masked_entities):
+            lid = self.ner_label2id[lbl] + 1
+            for s_tok, e_tok in _occurrences(masked_text, surf, self.max_length):
+                if starts[s_tok] == 0:
+                    starts[s_tok] = lid
+                if ends[e_tok] == 0:
+                    ends[e_tok] = lid
+        return starts, ends
+
+    # ---- M3: CRF emissions over BIO tags ----------------------------------
+    def crf_emissions(self, masked_text: str):
+        """[l, 1+2C] emissions: O=0.5 baseline, B-x/I-x=1.0 at occurrence
+        positions (label universe ['O'] + B-* + I-*, modeling_crf.py:91-94).
+        First write wins per position."""
+        import numpy as np
+
+        from .tokenizer import encode
+
+        l = encode(masked_text, self.max_length)["seq_len"]
+        n = len(self.ner_label2id)
+        em = np.zeros((l, 1 + 2 * n), dtype=np.float32)
+        em[:, 0] = 0.5
+        taken = [False] * l
+        for surf, lbl in sorted(self._masked_entities):
+            lid = self.ner_label2id[lbl]
+            for s_tok, e_tok in _occurrences(masked_text, surf, self.max_length):
+                if any(taken[s_tok : e_tok + 1]):
+                    continue
+                em[s_tok, 1 + lid] = 1.0
+                for p in range(s_tok + 1, e_tok + 1):
+                    em[p, 1 + n + lid] = 1.0
+                for p in range(s_tok, e_tok + 1):
+                    taken[p] = True
+        return em
+
+    def crf_id2label(self) -> dict:
+        labels = self.vocab.ner_labels()
+        return dict(
+            enumerate(["O"] + [f"B-{x}" for x in labels] + [f"I-{x}" for x in labels])
+        )
+
+    # ---- M6: TPLinker NER shaking spots ------------------------------------
+    def tplinker_ner_spots(self, masked_text: str) -> list:
+        return sorted(
+            (s, e, lid) for (lid, s, e) in self.ner_cells(masked_text)
+        )
+
+    # ---- M7: CNN char-grid scores ------------------------------------------
+    def cnn_scores(self, masked_text: str):
+        """Dense sigmoid-like grid [L, L, C] over char indices; symmetric
+        1.0 cells at occurrences (mirror cells set so the (S+S^T)/2 in
+        cnn_decode keeps confidence 1.0)."""
+        import numpy as np
+
+        L = min(len(masked_text), self.max_length - 2)
+        C = len(self.ner_label2id)
+        g = np.zeros((max(L, 1), max(L, 1), C), dtype=np.float32)
+        for surf, lbl in self._masked_entities:
+            lid = self.ner_label2id[lbl]
+            for s in find_all(masked_text, surf):
+                e = s + len(surf)
+                if e > L:
+                    continue
+                g[s, e - 1, lid] = 1.0
+                g[e - 1, s, lid] = 1.0
+        return g, L
+
+    # ---- M9: CasRel conditional views --------------------------------------
+    def casrel_subjects(self, masked_text: str):
+        starts, ends = set(), set()
+        for subj, _, _ in self._masked_relations:
+            for sh, st in _occurrences(masked_text, subj, self.max_length):
+                starts.add(sh)
+                ends.add(st)
+        return sorted(starts), sorted(ends)
+
+    def casrel_obj_fn(self, masked_text: str):
+        """Returns fn(subject_token_span) -> (starts, ends) of (pos, pred_id)
+        — the conditional-LayerNorm second pass, dictionary-simulated by
+        resolving the subject surface from the span."""
+
+        def fn(span):
+            sh, st = span
+            surf = masked_text[sh - 1 : st]  # tokens are CLS-shifted chars
+            starts, ends = [], []
+            for subj, pred, obj in self._masked_relations:
+                if subj != surf:
+                    continue
+                p = self.pred2id[pred]
+                for oh, ot in _occurrences(masked_text, obj, self.max_length):
+                    starts.append((oh, p))
+                    ends.append((ot, p))
+            return starts, ends
+
+        return fn
+
+    # ---- M10: TPLinker RE shaking spots ------------------------------------
+    def tplinker_re_labels(self) -> dict:
+        labels = ["ENT=EH2ET"]
+        for p in self.vocab.predicates():
+            labels += [f"{p}=SH2OH", f"{p}=OH2SH", f"{p}=ST2OT", f"{p}=OT2ST"]
+        return dict(enumerate(labels))
+
+    def tplinker_re_spots(self, masked_text: str) -> list:
+        label2id = {v: k for k, v in self.tplinker_re_labels().items()}
+        spots = set()
+        for subj, pred, obj in self._masked_relations:
+            so = _occurrences(masked_text, subj, self.max_length)
+            oo = _occurrences(masked_text, obj, self.max_length)
+            for sh, st in so:
+                spots.add((sh, st, label2id["ENT=EH2ET"]))
+            for oh, ot in oo:
+                spots.add((oh, ot, label2id["ENT=EH2ET"]))
+            for (sh, st) in so:
+                for (oh, ot) in oo:
+                    if sh <= oh:
+                        spots.add((sh, oh, label2id[f"{pred}=SH2OH"]))
+                    else:
+                        spots.add((oh, sh, label2id[f"{pred}=OH2SH"]))
+                    if st <= ot:
+                        spots.add((st, ot, label2id[f"{pred}=ST2OT"]))
+                    else:
+                        spots.add((ot, st, label2id[f"{pred}=OT2ST"]))
+        return sorted(spots)
+
+    # ---- M11: GRTE tag cells ------------------------------------------------
+    def grte_cells(self, masked_text: str) -> dict:
+        cells: dict = {}
+        for subj, pred, obj in sorted(self._masked_relations):
+            r = self.pred2id[pred]
+            so = _occurrences(masked_text, subj, self.max_length)
+            oo = _occurrences(masked_text, obj, self.max_length)
+            for (sh, st) in so:
+                for (oh, ot) in oo:
+                    subj_multi, obj_multi = st > sh, ot > oh
+                    if not subj_multi and not obj_multi:
+                        cells.setdefault((sh, oh, r), 1)
+                    elif not subj_multi and obj_multi:
+                        cells.setdefault((sh, oh, r), 4)
+                        cells.setdefault((sh, ot, r), 5)
+                    elif subj_multi and not obj_multi:
+                        cells.setdefault((sh, oh, r), 2)
+                        cells.setdefault((st, oh, r), 3)
+                    else:
+                        cells.setdefault((sh, oh, r), 6)
+                        cells.setdefault((st, ot, r), 7)
+        return cells
+
+    # ---- M12: OneRel tag cells ----------------------------------------------
+    def onerel_cells(self, masked_text: str) -> dict:
+        cells: dict = {}
+        for subj, pred, obj in sorted(self._masked_relations):
+            p = self.pred2id[pred]
+            so = _occurrences(masked_text, subj, self.max_length)
+            oo = _occurrences(masked_text, obj, self.max_length)
+            for (sh, st) in so:
+                for (oh, ot) in oo:
+                    cells.setdefault((p, sh, oh), 1)  # HB-TB
+                    cells.setdefault((p, sh, ot), 2)  # HB-TE
+                    cells.setdefault((p, st, ot), 3)  # HE-TE
+        return cells
+
     # ---- M2: W2NER argmax label grid -------------------------------------
     def w2ner_grid(self, text: str) -> dict:
         """{(i, j): label} sparse argmax grid over *char* indices (W2NER

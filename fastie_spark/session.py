@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(
@@ -44,3 +45,15 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Create a DataFrame from driver-local rows via pandas/Arrow.
+
+    The plain list path pickles rows into defaultParallelism Python slices,
+    and every downstream materialization (e.g. each broadcast-hash-join
+    build) pays a Python-worker round-trip per slice — measured ~4x slower
+    than the Arrow path for dictionary-sized tables. Always use this for
+    linker dictionaries, alias edges, component maps, fixtures."""
+    pdf = rows if isinstance(rows, pd.DataFrame) else pd.DataFrame(list(rows))
+    return spark.createDataFrame(pdf, schema)

@@ -1,0 +1,394 @@
+"""Training-data pipeline operators over the driver testdata tables, each
+paired with its DuckDB oracle SQL (the CORRECTNESS gate contract).
+
+Every entry in REGISTRY is ``name -> (spark_fn, oracle_sql_or_None)`` where
+``spark_fn(spark, sf_dir) -> DataFrame`` and the SQL runs on DuckDB views
+``documents``/``embeddings``/... over the same parquet. Column names and
+value semantics are kept identical on both sides (the driver hash-compares
+values after sorting columns by name), so all hashes (md5), regexes, and
+float math are chosen to be engine-portable and computed in double.
+
+Scale notes per operator are in the docstrings — these run at sf0.01 for
+correctness but are written for the 100 TB shape (aggregations with map-side
+partials, broadcast for small sides, no driver collects in the data path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+CHUNK = 510  # max_length - 2, the reference chunk width
+_TOKEN_RE = r"[\p{L}\p{N}]+"
+_PUNCT_RE = r"[\.,;:!\?。，；：！？]"
+_ASCII_RE = r"[^\x20-\x7E]"
+_SALTS = ["s0", "s1", "s2", "s3"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- P6 chunking
+def chunk_stats(spark, sf_dir):
+    """Fixed-window chunk accounting (auto_splitter split_sentence=False).
+    Pure projection — scans only (doc_id, text) thanks to column pruning."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.greatest(
+            F.ceil(F.length("text") / float(CHUNK)).cast("long"), F.lit(1)
+        ).alias("n_chunks"),
+        (
+            F.length("text").cast("long")
+            - (
+                F.greatest(
+                    F.ceil(F.length("text") / float(CHUNK)).cast("long"), F.lit(1)
+                )
+                - 1
+            )
+            * CHUNK
+        ).alias("last_chunk_len"),
+    )
+
+
+CHUNK_STATS_SQL = f"""
+SELECT doc_id,
+       greatest(cast(ceil(length(text) / {CHUNK}.0) AS BIGINT), 1) AS n_chunks,
+       cast(length(text) AS BIGINT)
+         - (greatest(cast(ceil(length(text) / {CHUNK}.0) AS BIGINT), 1) - 1) * {CHUNK}
+         AS last_chunk_len
+FROM documents
+"""
+
+
+def chunk_explode(spark, sf_dir):
+    """The chunker itself, relationally (doc_id, chunk_idx, char_base,
+    chunk_len). At scale this is the explode feeding the fused UDF stage."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    c = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest(cast(ceil(length(text) / {CHUNK}.0) as int), 1) - 1),"
+                f" i -> length(substring(text, i * {CHUNK} + 1, {CHUNK})))"
+            )
+        ).alias("chunk_idx", "chunk_len"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * CHUNK).cast("long").alias("char_base"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+    )
+
+
+CHUNK_EXPLODE_SQL = f"""
+WITH n AS (
+  SELECT doc_id, text,
+         greatest(cast(ceil(length(text) / {CHUNK}.0) AS BIGINT), 1) AS n_chunks
+  FROM documents
+)
+SELECT doc_id,
+       cast(i AS BIGINT) AS chunk_idx,
+       cast(i * {CHUNK} AS BIGINT) AS char_base,
+       cast(length(substring(text, cast(i * {CHUNK} + 1 AS INT), {CHUNK})) AS BIGINT)
+         AS chunk_len
+FROM n, unnest(generate_series(0, cast(n_chunks - 1 AS INT))) AS t(i)
+"""
+
+
+# ---------------------------------------------------------------- A5 labels
+def lang_universe(spark, sf_dir):
+    """Sorted distinct label discovery (fastie label-universe semantics)."""
+    return _docs(spark, sf_dir).select("lang").distinct().orderBy("lang")
+
+
+LANG_UNIVERSE_SQL = "SELECT DISTINCT lang FROM documents ORDER BY lang"
+
+
+# ---------------------------------------------------------------- A1 metrics
+def micro_prf_docs(spark, sf_dir):
+    """Micro P/R/F1 join metric over deterministic pred/gold doc sets
+    (pred: n_chars%10<6, gold: n_chars%7<4) — the A1 aggregation shape.
+    Single pass, map-side combinable."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("n_chars") % 10 < 6).alias("p"), (F.col("n_chars") % 7 < 4).alias("g")
+    )
+    agg = d.agg(
+        F.sum(F.when(F.col("p") & F.col("g"), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(F.col("p"), 1).otherwise(0)).cast("long").alias("n_pred"),
+        F.sum(F.when(F.col("g"), 1).otherwise(0)).cast("long").alias("n_gold"),
+    )
+    return agg.select(
+        "tp",
+        "n_pred",
+        "n_gold",
+        F.round(F.col("tp") / F.col("n_pred"), 6).alias("precision"),
+        F.round(F.col("tp") / F.col("n_gold"), 6).alias("recall"),
+        F.round(
+            2 * (F.col("tp") / F.col("n_pred")) * (F.col("tp") / F.col("n_gold"))
+            / ((F.col("tp") / F.col("n_pred")) + (F.col("tp") / F.col("n_gold"))),
+            6,
+        ).alias("f1"),
+    )
+
+
+MICRO_PRF_SQL = """
+WITH d AS (
+  SELECT (n_chars % 10 < 6) AS p, (n_chars % 7 < 4) AS g FROM documents
+), a AS (
+  SELECT cast(sum(CASE WHEN p AND g THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         cast(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+         cast(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gold
+  FROM d
+)
+SELECT tp, n_pred, n_gold,
+       round(tp / cast(n_pred AS DOUBLE), 6) AS precision,
+       round(tp / cast(n_gold AS DOUBLE), 6) AS recall,
+       round(2 * (tp / cast(n_pred AS DOUBLE)) * (tp / cast(n_gold AS DOUBLE))
+             / ((tp / cast(n_pred AS DOUBLE)) + (tp / cast(n_gold AS DOUBLE))), 6) AS f1
+FROM a
+"""
+
+
+# ---------------------------------------------------------------- dedup: exact
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-text hash: one shuffle keyed on the hash,
+    partial aggregation map-side. keep_doc_id = min (deterministic winner)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(text))) AS text_hash,
+       cast(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- text analysis
+def token_stats(spark, sf_dir):
+    """Token counting: unicode word-ish runs (BPE-ish regex). JVM-side
+    regexp, whole-stage codegen, no UDF."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_obs"),
+    )
+
+
+TOKEN_STATS_SQL = rf"""
+SELECT doc_id,
+       cast(length(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,
+       cast(length(text) AS BIGINT) AS n_chars_obs
+FROM documents
+"""
+
+
+def lang_id(spark, sf_dir):
+    """n-gram-free language heuristic: printable-ASCII char ratio."""
+    ascii_n = F.length(F.regexp_replace(F.col("text"), _ASCII_RE, ""))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ascii_n.cast("long").alias("ascii_chars"),
+        F.when(F.length("text") == 0, F.lit("unk"))
+        .when(ascii_n / F.length("text") > 0.65, F.lit("en"))
+        .otherwise(F.lit("zh"))
+        .alias("pred_lang"),
+    )
+
+
+LANG_ID_SQL = rf"""
+SELECT doc_id,
+       cast(length(regexp_replace(text, '{_ASCII_RE}', '', 'g')) AS BIGINT)
+         AS ascii_chars,
+       CASE WHEN length(text) = 0 THEN 'unk'
+            WHEN length(regexp_replace(text, '{_ASCII_RE}', '', 'g'))
+                 / cast(length(text) AS DOUBLE) > 0.65 THEN 'en'
+            ELSE 'zh' END AS pred_lang
+FROM documents
+"""
+
+
+def quality_score(spark, sf_dir):
+    """Document quality: length saturation × (1 - punctuation density)."""
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT_RE), 0))
+    n_chars = F.length("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_punct.cast("long").alias("n_punct"),
+        F.round(
+            F.least(n_chars, F.lit(2000)) / 2000.0
+            * (1.0 - n_punct / F.greatest(n_chars, F.lit(1))),
+            6,
+        ).alias("quality"),
+    )
+
+
+QUALITY_SCORE_SQL = rf"""
+SELECT doc_id,
+       cast(length(regexp_extract_all(text, '{_PUNCT_RE}')) AS BIGINT) AS n_punct,
+       round(least(length(text), 2000) / 2000.0
+             * (1.0 - length(regexp_extract_all(text, '{_PUNCT_RE}'))
+                      / cast(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+FROM documents
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Whitespace-insensitive content fingerprint (md5 — portable)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", ""))).alias("fp"),
+    )
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', '', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- dedup: minhash
+def minhash_signature(spark, sf_dir):
+    """MinHash over 8-char shingles (stride 4), 4 salted hash families.
+    md5-string minima are engine-portable (no 64-bit hash parity issues).
+    Shape at scale: explode -> min-agg, both map-side combinable; the
+    shingle explosion never leaves the stage (partial min before shuffle)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.col("text")).alias("norm")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(norm) - 7, 1), 4),"
+                   " p -> substring(norm, p, 8))")
+        ).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(s)))).alias(f"mh{i}")
+        for i, s in enumerate(_SALTS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+MINHASH_SIGNATURE_SQL = """
+WITH d AS (SELECT doc_id, lower(text) AS norm FROM documents),
+s AS (
+  SELECT doc_id,
+         substring(norm, cast(p AS INT), 8) AS shingle
+  FROM d, unnest(generate_series(1, cast(greatest(length(norm) - 7, 1) AS INT), 4)) AS t(p)
+)
+SELECT doc_id,
+       min(md5(shingle || 's0')) AS mh0,
+       min(md5(shingle || 's1')) AS mh1,
+       min(md5(shingle || 's2')) AS mh2,
+       min(md5(shingle || 's3')) AS mh3
+FROM s GROUP BY doc_id
+"""
+
+
+def near_dup_pairs(spark, sf_dir):
+    """LSH banding: candidate pairs sharing band (mh0, mh1). Self-join on
+    the band key — at scale this is the classic band-bucket join; skewed
+    buckets (boilerplate docs) are AQE-skew-handled."""
+    sig = minhash_signature(spark, sf_dir).select(
+        "doc_id", F.concat_ws("|", "mh0", "mh1").alias("band")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+NEAR_DUP_PAIRS_SQL = f"""
+WITH sig AS ({MINHASH_SIGNATURE_SQL}),
+b AS (SELECT doc_id, mh0 || '|' || mh1 AS band FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
+"""
+
+
+# ---------------------------------------------------------------- similarity
+def knn_cosine(spark, sf_dir, n_queries: int = 5, k: int = 3):
+    """Brute-force cosine top-k: broadcast the tiny query side against the
+    full embedding table; rank by cosine (computed in double, sequential
+    sum — bit-identical to the DuckDB formulation). IDs+rank output only,
+    so float rounding can't flip the value hash."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", (dot / (nq * nv)).alias("cos"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_vec_id", F.col("vec_id").alias("nn_vec_id"),
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+KNN_COSINE_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_vec_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_vec_id, e.vec_id,
+         list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_vec_id
+)
+SELECT q_vec_id, vec_id AS nn_vec_id, cast(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------- registry
+REGISTRY: dict = {
+    "chunk_stats": (chunk_stats, CHUNK_STATS_SQL),
+    "chunk_explode": (chunk_explode, CHUNK_EXPLODE_SQL),
+    "lang_universe": (lang_universe, LANG_UNIVERSE_SQL),
+    "micro_prf": (micro_prf_docs, MICRO_PRF_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "token_stats": (token_stats, TOKEN_STATS_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "quality_score": (quality_score, QUALITY_SCORE_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "minhash_signature": (minhash_signature, MINHASH_SIGNATURE_SQL),
+    "near_dup_pairs": (near_dup_pairs, NEAR_DUP_PAIRS_SQL),
+    "knn_cosine": (knn_cosine, KNN_COSINE_SQL),
+}

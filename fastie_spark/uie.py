@@ -1,0 +1,518 @@
+"""UIE prompt-based universal IE (SURVEY.md §2.4 M16-M18), re-implemented
+from /root/reference/fastie/models/uie/decode_utils.py:
+
+  M16 single-stage span extract  :388-471 (_single_stage_predict),
+      span pairing :38-86, threshold :90-115, offset re-bias :17-35
+  M17 multi-stage schema traversal :220-323 (_multi_stage_predict),
+      tree build :525-573, prompt composition :241-271
+  M18 classification chunk vote  :473-507 (_auto_joiner)
+
+The "model" is the deterministic dictionary scorer: an entity-label prompt
+fires on occurrences of entities of that label; a "{subject}的{relation}"
+prompt fires on objects o with (subject, relation, o) in the relation
+vocabulary; a "name[optA,optB]" cls prompt fires on the first option whose
+text occurs in the content (span emitted INSIDE the prompt, which is what
+makes the reference treat it as a cls task). Everything downstream of the
+probability grids follows the reference control flow exactly, including
+its quirks (``len(max(prompts))`` is the lexicographic max's length, and
+the ideographic-space gate in dbc2sbc).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from .chunking import cut_chinese_sent
+from .decoders import dbc2sbc, get_span
+from .scorer import Vocab, find_all
+
+POSITION_PROB = 0.5  # reference default, decode_utils.py:198
+MAX_LENGTH = 512
+
+
+# --------------------------------------------------------------------------
+# schema tree (decode_utils.py:525-573)
+# --------------------------------------------------------------------------
+class SchemaTree:
+    def __init__(self, name="root", children=None):
+        self.name = name
+        self.children = []
+        self.prefix = None
+        self.parent_relations = None
+        for c in children or []:
+            self.add_child(c)
+
+    def add_child(self, node):
+        self.children.append(node)
+
+
+def build_tree(schema, name="root") -> SchemaTree:
+    tree = SchemaTree(name)
+    for s in schema:
+        if isinstance(s, str):
+            tree.add_child(SchemaTree(s))
+        elif isinstance(s, dict):
+            for k, v in s.items():
+                child = [v] if isinstance(v, str) else v
+                if not isinstance(child, list):
+                    raise TypeError("Invalid schema value")
+                tree.add_child(build_tree(child, name=k))
+        else:
+            raise TypeError("Invalid schema element")
+    return tree
+
+
+# --------------------------------------------------------------------------
+# pair tokenization + offset re-bias
+# --------------------------------------------------------------------------
+def encode_pair_offsets(prompt: str, content: str, max_length: int = MAX_LENGTH):
+    """[CLS] prompt [SEP] content [SEP] offset mapping with per-segment
+    char offsets, mirroring a HF fast tokenizer's pair encoding. Content is
+    truncated so the whole sequence fits max_length."""
+    room = max_length - 3 - len(prompt)
+    content_keep = max(0, min(len(content), room))
+    offsets = (
+        [(0, 0)]
+        + [(i, i + 1) for i in range(len(prompt))]
+        + [(0, 0)]
+        + [(j, j + 1) for j in range(content_keep)]
+        + [(0, 0)]
+    )
+    return offsets, content_keep
+
+
+def get_id_and_prob(spans, offset_map):
+    """Offset re-bias + (start,end) resolution (decode_utils.py:17-35):
+    prompt-token offsets are shifted to negatives so cls spans (inside the
+    prompt) are distinguishable downstream."""
+    prompt_length = 0
+    for i in range(1, len(offset_map)):
+        if offset_map[i] != [0, 0]:
+            prompt_length += 1
+        else:
+            break
+    for i in range(1, prompt_length + 1):
+        offset_map[i][0] -= prompt_length + 1
+        offset_map[i][1] -= prompt_length + 1
+    sentence_id, prob = [], []
+    for start, end in spans:
+        prob.append(float(start[1] * end[1]))
+        sentence_id.append((offset_map[start[0]][0], offset_map[end[0]][1]))
+    return sentence_id, prob
+
+
+# --------------------------------------------------------------------------
+# deterministic UIE scorer
+# --------------------------------------------------------------------------
+_CLS_RE = re.compile(r"\[.*?\]$")
+
+
+class UIEScorer:
+    """start/end probability lists over the pair token sequence."""
+
+    def __init__(self, vocab: Vocab, max_length: int = MAX_LENGTH):
+        self.vocab = vocab
+        self.max_length = max_length
+        self.by_label: dict = {}
+        for surf, lbl in vocab.entity_vocab:
+            self.by_label.setdefault(lbl, []).append(surf)
+        self.by_subj: dict = {}
+        for s, p, o in vocab.relation_vocab:
+            self.by_subj.setdefault((s, p), []).append(o)
+        self.predicates = set(vocab.predicates())
+
+    def probs(self, prompt: str, content: str):
+        """(start_probs, end_probs) aligned with encode_pair_offsets tokens."""
+        offsets, keep = encode_pair_offsets(prompt, content, self.max_length)
+        n = len(offsets)
+        starts = [0.0] * n
+        ends = [0.0] * n
+        c_base = 1 + len(prompt) + 1  # first content token index
+        kept = content[:keep]
+
+        def fire_content(surface):
+            for s in find_all(kept, surface):
+                e = s + len(surface)
+                if e <= keep:
+                    starts[c_base + s] = 1.0
+                    ends[c_base + e - 1] = 1.0
+
+        m = _CLS_RE.search(prompt)
+        if m:
+            # cls prompt: fire the first option (textual order) present in
+            # the content; the span lies INSIDE the prompt -> cls semantics
+            options = [o.strip() for o in m.group()[1:-1].replace("，", ",").split(",")]
+            body_start = m.start()
+            for opt in options:
+                if opt and opt in kept:
+                    rel = prompt.find(opt, body_start)
+                    if rel != -1:
+                        starts[1 + rel] = 1.0
+                        ends[1 + rel + len(opt) - 1] = 1.0
+                    break
+            return starts, ends
+
+        if prompt in self.by_label:
+            for surf in self.by_label[prompt]:
+                fire_content(surf)
+            return starts, ends
+
+        # relation prompt "{subject}的{predicate}" — longest predicate match
+        if "的" in prompt:
+            for (s, p), objs in self.by_subj.items():
+                if prompt == f"{s}的{p}":
+                    for o in objs:
+                        fire_content(o)
+        return starts, ends
+
+
+# --------------------------------------------------------------------------
+# M16: single-stage predict (shared by oracle and the Spark UDF)
+# --------------------------------------------------------------------------
+def _auto_splitter(input_texts, max_text_len, split_sentence=False):
+    # decode_utils.py:350-386 — identical shape to chunking.auto_splitter
+    input_mapping: dict = {}
+    short_input_texts: list = []
+    cnt_short = 0
+    for cnt_org, text in enumerate(input_texts):
+        sens = cut_chinese_sent(text) if split_sentence else [text]
+        for sen in sens:
+            lens = len(sen)
+            if lens <= max_text_len:
+                short_input_texts.append(sen)
+                input_mapping.setdefault(cnt_org, []).append(cnt_short)
+                cnt_short += 1
+            else:
+                short_input_texts.extend(
+                    sen[i : i + max_text_len] for i in range(0, lens, max_text_len)
+                )
+                short_idx = cnt_short
+                cnt_short += math.ceil(lens / max_text_len)
+                input_mapping.setdefault(cnt_org, []).extend(
+                    range(short_idx, cnt_short)
+                )
+    return short_input_texts, input_mapping
+
+
+def get_bool_ids_greater_than_prob(probs, limit):
+    return [(i, p) for i, p in enumerate(probs) if p > limit]
+
+
+def single_stage_predict(inputs: list, scorer: UIEScorer,
+                         max_length: int = MAX_LENGTH,
+                         split_sentence: bool = False,
+                         position_prob: float = POSITION_PROB) -> list:
+    """examples [{'text','prompt'}] -> per-example result lists
+    (decode_utils.py:389-471). Reference quirk kept: max_predict_len uses
+    the length of the LEXICOGRAPHIC max prompt."""
+    if not inputs:
+        return []
+    input_texts = [x["text"] for x in inputs]
+    prompts = [x["prompt"] for x in inputs]
+    max_predict_len = max_length - len(max(prompts)) - 3
+
+    short_texts, input_mapping = _auto_splitter(
+        input_texts, max_predict_len, split_sentence=split_sentence
+    )
+    short_prompts = []
+    for k, v in input_mapping.items():
+        short_prompts.extend(prompts[k] for _ in v)
+
+    results = []
+    for text, prompt in zip(short_texts, short_prompts):
+        starts_p, ends_p = scorer.probs(prompt, text)
+        start_ids = get_bool_ids_greater_than_prob(starts_p, position_prob)
+        end_ids = get_bool_ids_greater_than_prob(ends_p, position_prob)
+        span_list = get_span(start_ids, end_ids, with_prob=True)
+        offsets, _ = encode_pair_offsets(prompt, text, max_length)
+        sentence_id, prob = get_id_and_prob(
+            span_list, [list(o) for o in offsets]
+        )
+        # _convert_ids_to_results (decode_utils.py:330-348)
+        result_list = []
+        for (start, end), pr in zip(sentence_id, prob):
+            if start < 0 and end >= 0:
+                continue
+            if end < 0:
+                start += len(prompt) + 1
+                end += len(prompt) + 1
+                result_list.append({"text": prompt[start:end], "probability": pr})
+            else:
+                result_list.append(
+                    {"text": text[start:end], "start": start, "end": end,
+                     "probability": pr}
+                )
+        results.append(result_list)
+    return uie_auto_joiner(results, short_texts, input_mapping)
+
+
+def uie_auto_joiner(short_results, short_inputs, input_mapping):
+    """J3 chunk join + M18 cls majority vote (decode_utils.py:473-523)."""
+    concat_results = []
+    is_cls_task = False
+    for sr in short_results:
+        if not sr:
+            continue
+        is_cls_task = "start" not in sr[0] and "end" not in sr[0]
+        break
+    for k, vs in input_mapping.items():
+        if is_cls_task:
+            cls_options: dict = {}
+            for v in vs:
+                if not short_results[v]:
+                    continue
+                t = short_results[v][0]["text"]
+                if t in cls_options:
+                    cls_options[t][0] += 1
+                    cls_options[t][1] += short_results[v][0]["probability"]
+                else:
+                    cls_options[t] = [1, short_results[v][0]["probability"]]
+            if cls_options:
+                cls_res, cls_info = max(cls_options.items(), key=lambda x: x[1])
+                concat_results.append(
+                    [{"text": cls_res, "probability": cls_info[1] / cls_info[0]}]
+                )
+            else:
+                concat_results.append([])
+        else:
+            single_results: list = []
+            offset = 0
+            for v in vs:
+                if v == 0:
+                    single_results = short_results[v]
+                    offset += len(short_inputs[v])
+                else:
+                    for r in short_results[v]:
+                        if "start" not in r or "end" not in r:
+                            continue
+                        r["start"] += offset
+                        r["end"] += offset
+                    offset += len(short_inputs[v])
+                    single_results.extend(short_results[v])
+            concat_results.append(single_results)
+    return concat_results
+
+
+# --------------------------------------------------------------------------
+# M17 on Spark: one DataFrame pass per schema node (driver-side BFS).
+# The data-dependent plan SURVEY.md §7.2c describes: prompts for level n+1
+# are composed relationally from level-n result rows; only the per-node
+# lexicographic-max prompt (the reference's max_predict_len quirk) is
+# collected to the driver (one tiny agg per node).
+# --------------------------------------------------------------------------
+UIE_ROW_SCHEMA = (
+    "url string, parent string, span string, start long, end long, "
+    "probability double"
+)
+
+
+def _uie_stage_fn(vocab: Vocab, max_prompt: str, max_length: int,
+                  split_sentence: bool, position_prob: float):
+    def fn(batches):
+        import pandas as pd
+
+        scorer = UIEScorer(vocab, max_length)
+        for pdf in batches:
+            rows = []
+            for url, text, prompt, parent in zip(
+                pdf["url"], pdf["text"], pdf["prompt"], pdf["parent"]
+            ):
+                # reproduce the batch-level max_predict_len: the node-global
+                # lexicographic max prompt is passed in from the driver
+                res = single_stage_predict(
+                    [{"text": text, "prompt": prompt},
+                     {"text": "", "prompt": max_prompt}],
+                    scorer, max_length, split_sentence, position_prob,
+                )[0]
+                for r in res:
+                    rows.append(
+                        (url, parent, r.get("text"), r.get("start"),
+                         r.get("end"), r["probability"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "parent", "span", "start", "end",
+                               "probability"],
+            )
+
+    return fn
+
+
+def run_uie_spark(spark, pages, vocab: Vocab, schema,
+                  max_length: int = MAX_LENGTH, split_sentence: bool = False,
+                  position_prob: float = POSITION_PROB):
+    """pages(url, text) + ad-hoc schema -> flat result rows
+    (url, path, parent, span, start, end, probability)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(schema, (dict, str)):
+        schema = [schema]
+    tree = build_tree(schema)
+    texts = pages.select("url", "text")
+
+    out_parts = []
+    # queue entries: (node, path, prompts_df(url, prompt, parent) | None)
+    queue = [(c, c.name, None) for c in tree.children]
+    while queue:
+        node, path, prompts_df = queue.pop(0)
+        if prompts_df is None:
+            level = texts.withColumn(
+                "prompt", F.lit(dbc2sbc(node.name))
+            ).withColumn("parent", F.lit(None).cast("string"))
+        else:
+            level = prompts_df.join(texts, "url").select(
+                "url", "text", "prompt", "parent"
+            )
+        maxp_row = level.agg(F.max("prompt").alias("m")).collect()
+        maxp = maxp_row[0]["m"]
+        if maxp is None:
+            continue
+        out = level.mapInPandas(
+            _uie_stage_fn(vocab, maxp, max_length, split_sentence,
+                          position_prob),
+            schema=UIE_ROW_SCHEMA,
+        ).withColumn("path", F.lit(path)).persist()
+        out_parts.append(out)
+        if node.children:
+            child_base = out.select(
+                "url", F.col("span").alias("parent"),
+                F.concat(F.col("span"), F.lit("的")).alias("prefix"),
+            )
+            for child in node.children:
+                child_prompts = child_base.select(
+                    "url",
+                    F.concat(F.col("prefix"), F.lit(dbc2sbc(child.name))).alias(
+                        "prompt"
+                    ),
+                    "parent",
+                )
+                queue.append((child, f"{path}/{child.name}", child_prompts))
+
+    if not out_parts:
+        return spark.createDataFrame([], UIE_ROW_SCHEMA + ", path string")
+    result = out_parts[0]
+    for p in out_parts[1:]:
+        result = result.unionByName(p)
+    return result.select("url", "path", "parent", "span", "start", "end",
+                         "probability")
+
+
+def flatten_oracle_results(texts_urls, results, tree_schema) -> list:
+    """Flatten multi_stage_predict output to the Spark row shape for
+    parity comparison."""
+    if isinstance(tree_schema, (dict, str)):
+        tree_schema = [tree_schema]
+    tree = build_tree(tree_schema)
+    rows = []
+
+    def walk(url, node, path, items, parent_text):
+        for it in items:
+            rows.append(
+                (url, path, parent_text, it.get("text"), it.get("start"),
+                 it.get("end"), it["probability"])
+            )
+            for child in node.children:
+                sub = it.get("relations", {}).get(child.name, [])
+                walk(url, child, f"{path}/{child.name}", sub, it.get("text"))
+
+    for url, res in zip(texts_urls, results):
+        for top in tree.children:
+            walk(url, top, top.name, res.get(top.name, []), None)
+    return rows
+
+
+# --------------------------------------------------------------------------
+# M17: multi-stage schema traversal (oracle control flow)
+# --------------------------------------------------------------------------
+def multi_stage_predict(texts: list, schema, vocab: Vocab,
+                        max_length: int = MAX_LENGTH,
+                        split_sentence: bool = False,
+                        position_prob: float = POSITION_PROB,
+                        is_english: bool = False) -> list:
+    """Faithful _multi_stage_predict (decode_utils.py:220-323)."""
+    scorer = UIEScorer(vocab, max_length)
+    if isinstance(schema, (dict, str)):
+        schema = [schema]
+    tree = build_tree(schema)
+    results = [{} for _ in texts]
+    schema_list = tree.children[:]
+    while schema_list:
+        node = schema_list.pop(0)
+        examples, input_map = [], {}
+        cnt = idx = 0
+        if not node.prefix:
+            for data in texts:
+                examples.append({"text": data, "prompt": dbc2sbc(node.name)})
+                input_map[cnt] = [idx]
+                idx += 1
+                cnt += 1
+        else:
+            for pre, data in zip(node.prefix, texts):
+                if len(pre) == 0:
+                    input_map[cnt] = []
+                else:
+                    for p in pre:
+                        if is_english:
+                            if _CLS_RE.search(node.name):
+                                prompt_prefix = node.name[: node.name.find("[", 1)].strip()
+                                cls_options = _CLS_RE.search(node.name).group()
+                                prompt = prompt_prefix + p + " " + cls_options
+                            else:
+                                prompt = node.name + p
+                        else:
+                            prompt = p + node.name
+                        examples.append({"text": data, "prompt": dbc2sbc(prompt)})
+                    input_map[cnt] = [i + idx for i in range(len(pre))]
+                    idx += len(pre)
+                cnt += 1
+
+        result_list = (
+            single_stage_predict(examples, scorer, max_length, split_sentence,
+                                 position_prob)
+            if examples else []
+        )
+        if not node.parent_relations:
+            relations = [[] for _ in texts]
+            for k, v in input_map.items():
+                for i in v:
+                    if not result_list[i]:
+                        continue
+                    if node.name not in results[k]:
+                        # assign the list object itself — later stages attach
+                        # "relations" onto these dicts in place (reference
+                        # relies on the shared identity)
+                        results[k][node.name] = result_list[i]
+                    else:
+                        results[k][node.name].extend(result_list[i])
+                if node.name in results[k]:
+                    relations[k].extend(results[k][node.name])
+        else:
+            relations = node.parent_relations
+            for k, v in input_map.items():
+                for i in range(len(v)):
+                    if not result_list[v[i]]:
+                        continue
+                    rel = relations[k][i]
+                    rel.setdefault("relations", {})
+                    rel["relations"].setdefault(node.name, [])
+                    rel["relations"][node.name].extend(result_list[v[i]])
+            new_relations = [[] for _ in texts]
+            for i in range(len(relations)):
+                for j in range(len(relations[i])):
+                    r = relations[i][j]
+                    if "relations" in r and node.name in r["relations"]:
+                        new_relations[i].extend(r["relations"][node.name])
+            relations = new_relations
+
+        prefix = [[] for _ in texts]
+        for k, v in input_map.items():
+            for i in v:
+                for r in result_list[i]:
+                    prefix[k].append(
+                        (" of " + r["text"]) if is_english else (r["text"] + "的")
+                    )
+        for child in node.children:
+            child.prefix = prefix
+            child.parent_relations = relations
+            schema_list.append(child)
+    return results

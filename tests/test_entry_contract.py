@@ -1,0 +1,66 @@
+"""Driver-contract checks: entry() smoke, every queries() entry runs, and
+each oracle_sql() matches the Spark result at sf0.001 (driver gate is
+sf0.01 — same data shape)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+from tests.test_oracle_parity import SF_DIR, TABLES, _norm  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"url", "subj", "pred", "obj"}
+    assert len(rows) > 100  # flagship actually extracts triples
+
+
+KG_KEYS = [
+    "extract_mentions", "extract_triples", "link_triples",
+    "canonical_components", "graph_edges",
+]
+
+
+@pytest.mark.parametrize("name", KG_KEYS)
+def test_kg_queries_match_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sorted(sdf.columns)
+    srows = [r.asDict() for r in sdf.collect()]
+    ddf = duck.sql(sql)
+    dcols = sorted(ddf.columns)
+    drows = [dict(zip(ddf.columns, r)) for r in ddf.fetchall()]
+    assert scols == dcols, f"{name}: schema {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
+    a, b = _norm(srows, scols), _norm(drows, dcols)
+    assert a == b, f"{name}: first diffs {[p for p in zip(a, b) if p[0] != p[1]][:3]}"
+
+
+def test_events_query_runs(spark):
+    df = entrymod.queries()["extract_events"](spark, SF_DIR)
+    assert df.count() >= 0
+    assert "event_key" in df.columns
+
+
+def test_every_oracle_key_has_query():
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(o) <= set(q)

@@ -56,9 +56,15 @@ def test_linking_exact_and_variant(spark, vocab, linker_df, pages_df):
     assert prepared.groupBy("alias_norm").count().filter("count > 1").count() == 0
 
 
-def test_connected_components_exact(spark, edges_df, alias_fixture):
+@pytest.mark.parametrize("threshold", [2_000_000, 0], ids=["driver-uf", "distributed"])
+def test_connected_components_exact(spark, edges_df, alias_fixture, threshold):
+    """Both strategies (driver union-find fast path and distributed
+    label-prop + pointer-jump) must give identical, exact components."""
     _, expected = alias_fixture
-    got = {r["node"]: r["component"] for r in connected_components(edges_df).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges_df, broadcast_threshold=threshold).collect()
+    }
     # every node present in an edge must resolve to its cluster min
     for node, comp in got.items():
         assert comp == expected[node], node
@@ -68,12 +74,16 @@ def test_connected_components_exact(spark, edges_df, alias_fixture):
     assert multi.issubset(got.keys())
 
 
-def test_cc_handles_chain_and_cycle(spark):
+@pytest.mark.parametrize("threshold", [2_000_000, 0], ids=["driver-uf", "distributed"])
+def test_cc_handles_chain_and_cycle(spark, threshold):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x")],
         "src string, dst string",
     )
-    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, broadcast_threshold=threshold).collect()
+    }
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
 
 

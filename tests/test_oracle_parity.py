@@ -1,0 +1,61 @@
+"""Local re-implementation of the driver's Spark-vs-DuckDB comparison, run
+at sf0.001 so oracle mismatches surface before the real gate at sf0.01."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from fastie_spark.textops import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if math.isnan(v):
+                    v = "nan"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", [k for k, v in REGISTRY.items() if v[1]])
+def test_query_matches_oracle(spark, duck, name):
+    fn, sql = REGISTRY[name]
+    sdf = fn(spark, SF_DIR)
+    scols = sorted(sdf.columns)
+    srows = [r.asDict() for r in sdf.collect()]
+
+    ddf = duck.sql(sql)
+    dcols = sorted(ddf.columns)
+    drows = [dict(zip(ddf.columns, r)) for r in ddf.fetchall()]
+
+    assert scols == dcols, f"{name}: schema mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+    a, b = _norm(srows, scols), _norm(drows, dcols)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")

@@ -1,0 +1,93 @@
+"""UIE (M16-M18) semantics + Spark-vs-oracle parity."""
+
+from collections import Counter
+
+import pytest
+
+from fastie_spark.uie import (
+    build_tree,
+    flatten_oracle_results,
+    get_id_and_prob,
+    multi_stage_predict,
+    run_uie_spark,
+    single_stage_predict,
+    UIEScorer,
+)
+
+SCHEMA = None  # set per vocab in fixture
+
+
+def test_build_tree_shapes():
+    t = build_tree([{"竞赛名称": ["主办方", "承办方"]}, "时间"])
+    assert [c.name for c in t.children] == ["竞赛名称", "时间"]
+    assert [c.name for c in t.children[0].children] == ["主办方", "承办方"]
+    t2 = build_tree([{"a": "b"}])
+    assert t2.children[0].children[0].name == "b"
+
+
+def test_get_id_and_prob_offset_rebias():
+    # [CLS] p r [SEP] c o n [SEP] — prompt len 2, content len 3
+    om = [[0, 0], [0, 1], [1, 2], [0, 0], [0, 1], [1, 2], [2, 3], [0, 0]]
+    spans = {((4, 1.0), (6, 0.9))}  # content tokens 4..6 -> chars 0..3
+    ids, probs = get_id_and_prob(spans, om)
+    assert ids == [(0, 3)] and probs == [pytest.approx(0.9)]
+    # prompt-internal span -> negative ids (cls task path)
+    om2 = [[0, 0], [0, 1], [1, 2], [0, 0], [0, 1], [0, 0]]
+    ids2, _ = get_id_and_prob({((1, 1.0), (2, 1.0))}, om2)
+    assert ids2 == [(-3, -1)]
+
+
+def test_single_stage_entity_prompt(vocab):
+    scorer = UIEScorer(vocab)
+    surf, lbl = vocab.entity_vocab[0]
+    text = f"xx{surf}yy{surf}zz"
+    res = single_stage_predict([{"text": text, "prompt": lbl}], scorer)
+    spans = {(r["text"], r["start"], r["end"]) for r in res[0]}
+    assert (surf, 2, 2 + len(surf)) in spans
+    assert len(spans) == 2  # both occurrences
+
+
+def test_single_stage_relation_prompt(vocab):
+    scorer = UIEScorer(vocab)
+    subj, pred, obj = vocab.relation_vocab[0]
+    text = f"{subj}和{obj}。"
+    res = single_stage_predict([{"text": text, "prompt": f"{subj}的{pred}"}], scorer)
+    assert {r["text"] for r in res[0]} == {obj}
+
+
+def test_cls_prompt_majority_vote(vocab):
+    scorer = UIEScorer(vocab)
+    # long doc -> chunks; option '正向' appears in content -> cls vote
+    text = ("正向" + "x" * 300) * 3
+    res = single_stage_predict(
+        [{"text": text, "prompt": "情感倾向[正向,负向]"}], scorer
+    )
+    assert res[0] == [{"text": "正向", "probability": pytest.approx(1.0)}]
+
+
+@pytest.fixture(scope="module")
+def uie_schema(vocab):
+    subj, pred, obj = vocab.relation_vocab[0]
+    lbl = dict(vocab.entity_vocab)[subj]
+    other = next(l for l in ("per", "org", "loc") if l != lbl)
+    return [{lbl: [pred, "author"]}, other]
+
+
+def test_uie_spark_matches_oracle(spark, vocab, pages, uie_schema):
+    texts = [p["text"] for p in pages]
+    urls = [p["url"] for p in pages]
+    oracle = multi_stage_predict(texts, uie_schema, vocab)
+    want = Counter(flatten_oracle_results(urls, oracle, uie_schema))
+    assert sum(want.values()) > 20
+
+    pages_df = spark.createDataFrame(
+        [{"url": u, "text": t} for u, t in zip(urls, texts)],
+        "url string, text string",
+    )
+    got_rows = run_uie_spark(spark, pages_df, vocab, uie_schema).collect()
+    got = Counter(
+        (r["url"], r["path"], r["parent"], r["span"], r["start"], r["end"],
+         r["probability"])
+        for r in got_rows
+    )
+    assert got == want
