@@ -156,6 +156,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["classify_docs"] = classify_docs
+
+    def spo_convert(s, d):
+        """P1 judge filter + P2 char-offset annotate
+        (fastie/data/relation_extraction.py:25-66): keep (text, spo) pairs
+        whose subject AND object occur verbatim; emit first-occurrence char
+        spans [sub_start, sub_end, pred_id, obj_start, obj_end] (inclusive
+        ends). Broadcast the spo side; instr stays in codegen."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        vocab, _ = derived_vocab(s, docs)
+        pred2id = {p: i for i, p in enumerate(vocab.predicates())}
+        rel = local_df(
+            s,
+            [{"subj": a, "pred": p, "obj": o, "pred_id": pred2id[p]}
+             for a, p, o in vocab.relation_vocab],
+            "subj string, pred string, obj string, pred_id long",
+        )
+        dd = docs.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "text",
+        )
+        j = dd.crossJoin(F.broadcast(rel)).filter(
+            (F.instr("text", F.col("subj")) > 0)
+            & (F.instr("text", F.col("obj")) > 0)
+        )
+        sub = (F.instr("text", F.col("subj")) - 1).cast("long")
+        obj = (F.instr("text", F.col("obj")) - 1).cast("long")
+        return j.select(
+            "url", "subj", "pred", "obj",
+            sub.alias("sub_start"),
+            (sub + F.length("subj") - 1).alias("sub_end"),
+            "pred_id",
+            obj.alias("obj_start"),
+            (obj + F.length("obj") - 1).alias("obj_end"),
+        )
+
+    q["spo_convert"] = spo_convert
     q["extract_mentions"] = lambda s, d: _kg(s, d)["mentions"]
     q["extract_triples"] = lambda s, d: _kg(s, d)["triples"]
     q["extract_events"] = lambda s, d: _kg(s, d)["events"]
@@ -285,9 +321,31 @@ WHERE rn = 1
 )
 
 
+_SPO_CONVERT_SQL = (
+    "WITH " + _VOCAB_CTE + r""",
+pred_ids AS (
+  SELECT pred, cast(row_number() OVER (ORDER BY pred) - 1 AS BIGINT) AS pred_id
+  FROM (SELECT DISTINCT pred FROM rel)
+)
+SELECT 'doc://' || d.doc_id AS url, r.subj, r.pred, r.obj,
+       cast(position(r.subj IN d.text) - 1 AS BIGINT) AS sub_start,
+       cast(position(r.subj IN d.text) - 1 + length(r.subj) - 1 AS BIGINT)
+         AS sub_end,
+       p.pred_id,
+       cast(position(r.obj IN d.text) - 1 AS BIGINT) AS obj_start,
+       cast(position(r.obj IN d.text) - 1 + length(r.obj) - 1 AS BIGINT)
+         AS obj_end
+FROM documents d
+JOIN rel r ON position(r.subj IN d.text) > 0 AND position(r.obj IN d.text) > 0
+JOIN pred_ids p ON p.pred = r.pred
+"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     o = {name: sql for name, (_, sql) in REGISTRY.items() if sql}
     o["classify_docs"] = _CLASSIFY_SQL
+    o["spo_convert"] = _SPO_CONVERT_SQL
     o["extract_mentions"] = _MENTIONS_SQL
     o["extract_triples"] = _TRIPLES_SQL
     o["link_triples"] = _LINKED_SQL

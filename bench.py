@@ -165,14 +165,22 @@ def main():
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        r8 = kg_run_subprocess("local[8]", pages_path, 8)
-        r32 = kg_run_subprocess("local[32]", pages_path, 32)
-        eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / (32 / 8)
-        result["scaling"] = {
-            "local8": {k: round(v, 3) for k, v in r8.items()},
-            "local32": {k: round(v, 3) for k, v in r32.items()},
-            "efficiency_8_to_32": round(eff, 3),
+        # N -> 4N proxy at two windows; see BENCH/BASELINE.md for the
+        # hardware-ceiling control experiments that contextualize these
+        runs = {
+            n: kg_run_subprocess(f"local[{n}]", pages_path, n)
+            for n in (4, 8, 16, 32)
         }
+        result["scaling"] = {
+            f"local{n}": {k: round(v, 3) for k, v in r.items()}
+            for n, r in runs.items()
+        }
+        result["scaling"]["efficiency_4_to_16"] = round(
+            (runs[16]["triples_per_sec"] / runs[4]["triples_per_sec"]) / 4, 3
+        )
+        result["scaling"]["efficiency_8_to_32"] = round(
+            (runs[32]["triples_per_sec"] / runs[8]["triples_per_sec"]) / 4, 3
+        )
 
     print(json.dumps(result))
 

@@ -115,11 +115,13 @@ def materialize_snapshot(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
-                # one task per bucket -> one file per bucket partition, not
-                # n_buckets × shuffle_partitions small files
+                # partitioned by (snapshot, bucket): dynamic overwrite only
+                # replaces THIS snapshot's bucket dirs, so crash-replay is
+                # idempotent and earlier snapshots are never clobbered; one
+                # task per bucket -> one file per partition
                 pending.repartition(len(todo), F.col(BUCKET_COL))
                 .write.mode("overwrite")
-                .partitionBy(BUCKET_COL)
+                .partitionBy("snapshot_id", BUCKET_COL)
                 .parquet(prov_dir)
             )
         finally:
@@ -129,7 +131,10 @@ def materialize_snapshot(
         counts = {
             r[BUCKET_COL]: r["n"]
             for r in spark.read.parquet(prov_dir)
-            .filter(F.col(BUCKET_COL).isin(todo))
+            .filter(
+                (F.col("snapshot_id") == snapshot_id)
+                & F.col(BUCKET_COL).isin(todo)
+            )
             .groupBy(BUCKET_COL)
             .agg(F.count("*").alias("n"))
             .collect()

@@ -377,6 +377,190 @@ WHERE rnk <= 3
 """
 
 
+# ------------------------------------------------------------ S3/S4: splits
+def train_val_split(spark, sf_dir):
+    """Deterministic hash split (the portable re-expression of
+    train_test_split(pct, seed): md5 prefix < 'cd' ~ 80%). Content-stable
+    across engines and partitionings, unlike rand(seed)."""
+    h = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split"))), 1, 2)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(h < "cd", "train").otherwise("val").alias("split"),
+    )
+
+
+TRAIN_VAL_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN substring(md5(cast(doc_id AS VARCHAR) || '|split'), 1, 2) < 'cd'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
+def seeded_shuffle(spark, sf_dir):
+    """Deterministic shuffle order (dataset.shuffle(seed) analogue): rank by
+    keyed md5 — reproducible across engines/partitionings."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|42")))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(key, "doc_id")).cast("long").alias("shuffle_rank"),
+    )
+
+
+SEEDED_SHUFFLE_SQL = """
+SELECT doc_id,
+       cast(row_number() OVER (
+         ORDER BY md5(cast(doc_id AS VARCHAR) || '|42'), doc_id) AS BIGINT)
+         AS shuffle_rank
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ P4: dbc2sbc
+_FW_SRC = "".join(chr(c + 0xFEE0) for c in range(0x21, 0x7F))
+_FW_DST = "".join(chr(c) for c in range(0x21, 0x7F))
+
+
+def dbc2sbc_norm(spark, sf_dir):
+    """Full-width -> half-width normalization as a codegen translate (the
+    P4 dbc2sbc semantics over the 0x21-0x7e block; the reference's
+    ideographic-space quirk keeps U+3000 unmapped — see decoders.dbc2sbc)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.translate(F.col("text"), _FW_SRC, _FW_DST), 1, 80).alias("norm80"),
+    )
+
+
+DBC2SBC_SQL = f"""
+SELECT doc_id,
+       substring(translate(text, '{_FW_SRC}', '{_FW_DST.replace("'", "''")}'),
+                 1, 80) AS norm80
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ A4: accuracy
+def lang_id_accuracy(spark, sf_dir):
+    """Classification metric (A4): accuracy of the lang-id heuristic
+    against the documents.lang gold column."""
+    d = lang_id(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    return d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+LANG_ID_ACC_SQL = rf"""
+WITH p AS ({LANG_ID_SQL})
+SELECT cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END)
+             / cast(count(*) AS DOUBLE), 6) AS accuracy
+FROM p JOIN documents d USING (doc_id)
+"""
+
+
+# ------------------------------------------------------------ simhash dedup
+def simhash16(spark, sf_dir):
+    """16-bit SimHash over word tokens via md5-derived bit votes — portable
+    (no 64-bit hash parity issues). Shape at scale: token explode ->
+    per-(doc,bit) vote sum -> per-doc bit pack; all map-side combinable."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)).alias("tok"),
+    )
+    bits = toks.select(
+        "doc_id", F.md5("tok").alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+    ).select(
+        "doc_id", "b",
+        F.when(
+            F.substring(F.col("h"), F.col("b") + 1, 1).isin(
+                *"89abcdef"
+            ),
+            1,
+        ).otherwise(-1).alias("v"),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b"))).otherwise(0.0)
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+SIMHASH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS tok
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN substring(md5(tok), cast(b + 1 AS INT), 1)
+                   IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS v
+  FROM toks, unnest(generate_series(0, 15)) AS t(b)
+),
+votes AS (SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       cast(sum(CASE WHEN s > 0 THEN power(2.0, b) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def emb_near_dup(spark, sf_dir, threshold: float = 0.95):
+    """Embedding-cosine near-duplicate pairs (brute-force self-join; at
+    scale the LSH-bucketed variant in near_dup_pairs is the candidate
+    generator and this becomes the verify stage on candidates only)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", (dot / (na * nb)).alias("cos"))
+        .filter(F.col("cos") > threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+EMB_NEAR_DUP_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) > 0.95
+"""
+
+
 # ---------------------------------------------------------------- registry
 REGISTRY: dict = {
     "chunk_stats": (chunk_stats, CHUNK_STATS_SQL),
@@ -391,4 +575,10 @@ REGISTRY: dict = {
     "minhash_signature": (minhash_signature, MINHASH_SIGNATURE_SQL),
     "near_dup_pairs": (near_dup_pairs, NEAR_DUP_PAIRS_SQL),
     "knn_cosine": (knn_cosine, KNN_COSINE_SQL),
+    "train_val_split": (train_val_split, TRAIN_VAL_SPLIT_SQL),
+    "seeded_shuffle": (seeded_shuffle, SEEDED_SHUFFLE_SQL),
+    "dbc2sbc_norm": (dbc2sbc_norm, DBC2SBC_SQL),
+    "lang_id_accuracy": (lang_id_accuracy, LANG_ID_ACC_SQL),
+    "simhash16": (simhash16, SIMHASH_SQL),
+    "emb_near_dup": (emb_near_dup, EMB_NEAR_DUP_SQL),
 }

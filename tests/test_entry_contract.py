@@ -35,7 +35,7 @@ def test_entry_smoke(spark):
 
 KG_KEYS = [
     "extract_mentions", "extract_triples", "link_triples",
-    "canonical_components", "graph_edges",
+    "canonical_components", "graph_edges", "classify_docs", "spo_convert",
 ]
 
 
