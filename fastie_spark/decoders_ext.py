@@ -101,6 +101,29 @@ def crf_decode(emissions: np.ndarray, l: int, text: str, mapping,
 
 
 # --------------------------------------------------------------------------
+# M4: Cascade-CRF decode (3-tag BIO stage + per-span linear classify)
+# --------------------------------------------------------------------------
+BIO_MAP = {0: "O", 1: "B-ENT", 2: "I-ENT"}
+
+
+def cascade_crf_decode(emissions3: np.ndarray, classify_fn, l: int, text: str,
+                       mapping, id2label: dict) -> set:
+    """Stage 1: Viterbi over 3 tags -> typeless spans (empty -> [[0,0]]);
+    stage 2: classify each span (argmax over ['O'] + labels); emit iff
+    s*e*p != 0 (modeling_crf.py:274-315). classify_fn(span) -> label id."""
+    ids = viterbi(emissions3[:l])
+    tags = [BIO_MAP[i] for i in ids][:-1]
+    spans = [[s, e] for _, s, e in get_entities(tags)] or [[0, 0]]
+    out = set()
+    for s, e in spans:
+        p = classify_fn((s, e))
+        if s * e * p != 0:
+            _start, _end = mapping[s][0], mapping[e][1]
+            out.add((id2label[p], _start, _end, text[_start:_end]))
+    return out
+
+
+# --------------------------------------------------------------------------
 # M5: span-NER decode (nearest same-label end)
 # --------------------------------------------------------------------------
 def span_decode(start_labels, end_labels, l: int, text: str, mapping,

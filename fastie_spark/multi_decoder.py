@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from .decoders import gp_decode_cells, gplinker_decode_cells, w2ner_decode_grid
 from .decoders_ext import (
+    cascade_crf_decode,
     casrel_decode,
     cnn_decode,
     crf_decode,
@@ -36,7 +37,7 @@ MULTI_SCHEMA = (
     "end long, surface string, subj string, pred string, obj string"
 )
 
-NER_DECODERS = ["gp", "w2ner", "span", "crf", "tplinker", "cnn"]
+NER_DECODERS = ["gp", "w2ner", "span", "crf", "cascade_crf", "tplinker", "cnn"]
 RE_DECODERS = ["gplinker", "casrel", "tplinker", "grte", "onerel", "pfn"]
 
 
@@ -67,6 +68,9 @@ def decode_chunk_all(scorer: DictScorer, ids: dict, chunk: str, base: int,
     add_mentions("span", span_decode(starts, ends, l, chunk, mapping, ids["span"]))
     add_mentions("crf", crf_decode(
         scorer.crf_emissions(masked), l, chunk, mapping, ids["crf"]))
+    add_mentions("cascade_crf", cascade_crf_decode(
+        scorer.cascade_emissions(masked), scorer.cascade_classify_fn(masked),
+        l, chunk, mapping, ids["span"]))
     add_mentions("tplinker", tplinker_ner_decode(
         scorer.tplinker_ner_spots(masked), l, chunk, mapping, ids["ner"]))
     grid, L = scorer.cnn_scores(masked)

@@ -213,6 +213,41 @@ class DictScorer:
                     taken[p] = True
         return em
 
+    def cascade_emissions(self, masked_text: str):
+        """[l, 3] emissions over {O, B-ENT, I-ENT} (typeless stage 1 of
+        cascade CRF, modeling_crf.py:202-204). First write wins."""
+        import numpy as np
+
+        from .tokenizer import encode
+
+        l = encode(masked_text, self.max_length)["seq_len"]
+        em = np.zeros((l, 3), dtype=np.float32)
+        em[:, 0] = 0.5
+        taken = [False] * l
+        for surf, _ in sorted(self._masked_entities):
+            for s_tok, e_tok in _occurrences(masked_text, surf, self.max_length):
+                if any(taken[s_tok : e_tok + 1]):
+                    continue
+                em[s_tok, 1] = 1.0
+                for p in range(s_tok + 1, e_tok + 1):
+                    em[p, 2] = 1.0
+                for p in range(s_tok, e_tok + 1):
+                    taken[p] = True
+        return em
+
+    def cascade_classify_fn(self, masked_text: str):
+        """Stage-2 span classifier: surface lookup -> label id in
+        ['O'] + sorted labels (0 = unknown/O)."""
+        lut = {
+            surf: self.ner_label2id[lbl] + 1 for surf, lbl in self._masked_entities
+        }
+
+        def fn(span):
+            s, e = span
+            return lut.get(masked_text[s - 1 : e], 0)
+
+        return fn
+
     def crf_id2label(self) -> dict:
         labels = self.vocab.ner_labels()
         return dict(

@@ -561,6 +561,140 @@ WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
 """
 
 
+# ------------------------------------------------- ngram-jaccard verify stage
+def ngram_jaccard_pairs(spark, sf_dir, min_jaccard: float = 0.3):
+    """Candidate pairs from the MinHash bands (near_dup_pairs), verified by
+    exact Jaccard over distinct 8-gram (stride-4) shingles. The two-stage
+    candidates->verify shape is the 100 TB pattern: the exact-intersection
+    join runs only on band-colliding pairs, never all-pairs."""
+    cand = near_dup_pairs(spark, sf_dir)
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.lower(F.col("text")).alias("norm"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, greatest(length(norm) - 7, 1), 4),"
+                       " p -> substring(norm, p, 8))")
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH cand AS ({NEAR_DUP_PAIRS_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, substring(norm, cast(p AS INT), 8) AS shingle
+  FROM (SELECT doc_id, lower(text) AS norm FROM documents) d,
+       unnest(generate_series(1, cast(greatest(length(norm) - 7, 1) AS INT), 4)) AS t(p)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.inter / cast(sa.n + sb.n - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter / cast(sa.n + sb.n - i.inter AS DOUBLE) >= 0.3
+"""
+
+
+# ------------------------------------------------- IVF/LSH-bucketed ANN
+def knn_ivf(spark, sf_dir, n_queries: int = 5, k: int = 3, n_bits: int = 6):
+    """Scale-path ANN: sign-bit bucketing (axis-aligned LSH) over the first
+    n_bits dims -> exact cosine only within the query's bucket. Trades
+    recall for a bucket-local search; the brute-force knn_cosine is the
+    ground-truth baseline."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bucket = F.concat_ws(
+        "", *[
+            (F.element_at("v", i + 1) > 0).cast("int").cast("string")
+            for i in range(n_bits)
+        ]
+    )
+    eb = e.withColumn("bucket", bucket)
+    q = eb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = (
+        eb.join(F.broadcast(q), eb["bucket"] == q["qb"])
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", (dot / (nq * nv)).alias("cos"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_vec_id", F.col("vec_id").alias("nn_vec_id"),
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+KNN_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+eb AS (
+  SELECT vec_id, v,
+         cast(v[1] > 0 AS INT) || cast(v[2] > 0 AS INT)
+         || cast(v[3] > 0 AS INT) || cast(v[4] > 0 AS INT)
+         || cast(v[5] > 0 AS INT) || cast(v[6] > 0 AS INT) AS bucket
+  FROM e
+),
+q AS (SELECT vec_id AS q_vec_id, v AS qv, bucket AS qb FROM eb WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_vec_id, eb.vec_id,
+         list_sum(list_transform(list_zip(q.qv, eb.v), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(eb.v, x -> x * x)))) AS cos
+  FROM eb JOIN q ON eb.bucket = q.qb
+  WHERE eb.vec_id <> q.q_vec_id
+)
+SELECT q_vec_id, vec_id AS nn_vec_id, cast(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
 # ---------------------------------------------------------------- registry
 REGISTRY: dict = {
     "chunk_stats": (chunk_stats, CHUNK_STATS_SQL),
@@ -581,4 +715,6 @@ REGISTRY: dict = {
     "lang_id_accuracy": (lang_id_accuracy, LANG_ID_ACC_SQL),
     "simhash16": (simhash16, SIMHASH_SQL),
     "emb_near_dup": (emb_near_dup, EMB_NEAR_DUP_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "knn_ivf": (knn_ivf, KNN_IVF_SQL),
 }

@@ -47,6 +47,25 @@ def test_viterbi_and_crf_decode():
     assert out == {("per", 1, 3, "bc")}
 
 
+def test_cascade_crf_decode():
+    import numpy as np
+
+    from fastie_spark.decoders_ext import cascade_crf_decode
+
+    l, mapping = _enc("abcd")
+    em = np.zeros((l, 3), dtype=np.float32)
+    em[:, 0] = 0.5
+    em[2, 1] = 1.0  # B at char b
+    em[3, 2] = 1.0  # I at char c
+    out = cascade_crf_decode(em, lambda span: 1 if span == (2, 3) else 0,
+                             l, "abcd", mapping, {0: "O", 1: "per"})
+    assert out == {("per", 1, 3, "bc")}
+    # classifier says O (0) -> dropped via s*e*p != 0
+    out = cascade_crf_decode(em, lambda span: 0, l, "abcd", mapping,
+                             {0: "O", 1: "per"})
+    assert out == set()
+
+
 def test_span_decode_nearest_end():
     l, mapping = _enc("abcde")
     starts = [0, 0, 2, 0, 0, 0, 0]
@@ -170,8 +189,8 @@ def test_ner_decoders_agree_on_dictionary_corpus(multi_rows):
     assert len(m["gp"]) > 300
     assert m["w2ner"] == m["gp"]
     assert m["tplinker"] == m["gp"]
-    # span/cnn/crf can differ only where occurrences overlap/adjoin
-    for dec in ("span", "cnn", "crf"):
+    # span/cnn/crf variants can differ only where occurrences overlap/adjoin
+    for dec in ("span", "cnn", "crf", "cascade_crf"):
         inter = len(m[dec] & m["gp"])
         assert inter / len(m["gp"]) > 0.9, dec
         assert inter / max(len(m[dec]), 1) > 0.9, dec

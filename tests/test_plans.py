@@ -1,0 +1,99 @@
+"""Physical-plan quality gates: column pruning / filter pushdown reach the
+parquet scan, dictionary joins broadcast, and hot paths don't shuffle more
+than designed. These are the 100 TB guardrails — a regression here is a
+performance bug even if results stay correct."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastie_spark.linking import link_mentions, prepare_linker_dict
+from fastie_spark.session import local_df
+from fastie_spark.textops import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    """Formatted plan (node details: PushedFilters, ReadSchema...)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_tree(df) -> str:
+    """Simple-mode tree — each operator appears exactly once, so substring
+    counts == operator counts."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    return buf.getvalue()
+
+
+def test_chunk_stats_column_pruning(spark):
+    df = REGISTRY["chunk_stats"][0](spark, SF_DIR)
+    # scan must read only doc_id + text, not lang/source/n_chars
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan_of(df)
+    assert "Exchange" not in plan_tree(df)  # pure projection, no shuffle
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_linking_join_is_broadcast(spark, vocab):
+    from fastie_spark.fixtures import build_linker_dict
+
+    linker = local_df(
+        spark, build_linker_dict(vocab),
+        "alias string, canonical_id string, entity_type string, prior double",
+    )
+    mentions = spark.createDataFrame(
+        [("u", "per", 0, 3, "abc")],
+        "url string, label string, start long, end long, surface string",
+    )
+    plan = plan_of(link_mentions(mentions, linker))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_exact_single_shuffle(spark):
+    plan = plan_tree(REGISTRY["dedup_exact"][0](spark, SF_DIR))
+    # one hash-aggregate pair around exactly one exchange (map-side partial)
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2
+
+
+def test_minhash_partial_aggregation(spark):
+    plan = plan_tree(REGISTRY["minhash_signature"][0](spark, SF_DIR))
+    # shingle explode must be followed by a partial min-agg BEFORE the one
+    # shuffle (string min -> SortAggregate); in the printed tree the partial
+    # aggregate is the deeper node, i.e. textually after the Exchange
+    assert plan.count("Exchange") == 1
+    assert "partial_min" in plan
+    assert plan.find("partial_min") > plan.find("Exchange")
+
+
+def test_knn_query_side_broadcast(spark):
+    plan = plan_of(REGISTRY["knn_cosine"][0](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fused_extraction_no_extra_shuffle(spark, vocab, pages_df):
+    from fastie_spark.pipeline import run_extraction_fused
+
+    out = run_extraction_fused(spark, pages_df, vocab, persist=False)
+    plan = plan_tree(out["triples"])
+    # exactly the one designed shuffle: the explicit url-hash repartition
+    assert plan.count("Exchange") == 1
+    # and the whole decode stage is a single python stage
+    assert plan.count("MapInPandas") == 1
