@@ -188,7 +188,17 @@ def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
         for pdf in batches:
             rows = []
             for url, src in zip(pdf["url"], pdf[src_col]):
-                text = extract_text_py(src) if from_html else src
+                if from_html:
+                    try:
+                        text = extract_text_py(src)
+                    except (UnicodeDecodeError, ValueError):
+                        # real crawls carry garbage bytes; a poison page must
+                        # not kill the task — it just yields no extractions
+                        # (the byte-identity contract applies to well-formed
+                        # pages and is asserted separately in tests)
+                        continue
+                else:
+                    text = src
                 chunks = split_one(text, max_length - 2)
                 bases = char_bases(chunks)
                 doc_triples: set = set()

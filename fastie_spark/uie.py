@@ -158,12 +158,17 @@ class UIEScorer:
                 fire_content(surf)
             return starts, ends
 
-        # relation prompt "{subject}的{predicate}" — longest predicate match
+        # relation prompts: zh "{subject}的{predicate}" / en "{predicate} of
+        # {subject}" (prompt composition decode_utils.py:251-263)
         if "的" in prompt:
             for (s, p), objs in self.by_subj.items():
                 if prompt == f"{s}的{p}":
                     for o in objs:
                         fire_content(o)
+        elif " of " in prompt:
+            p, s = prompt.split(" of ", 1)
+            for o in self.by_subj.get((s, p), []):
+                fire_content(o)
         return starts, ends
 
 

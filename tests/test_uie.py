@@ -73,6 +73,33 @@ def uie_schema(vocab):
     return [{lbl: [pred, "author"]}, other]
 
 
+def test_uie_english_mode(vocab):
+    """is_english prompt composition: child prompt = name + ' of ' + parent."""
+    subj, pred, obj = next(
+        (s, p, o) for s, p, o in vocab.relation_vocab
+        if " " not in s and s.isascii() and o not in s
+    )
+    lbl = dict(vocab.entity_vocab)[subj]
+    text = f"{subj} something {obj}."
+    res = multi_stage_predict([text], [{lbl: [pred]}], vocab, is_english=True)
+    tops = res[0].get(lbl, [])
+    subj_hits = [t for t in tops if t["text"] == subj]
+    assert subj_hits
+    rels = [r["text"] for t in subj_hits
+            for r in t.get("relations", {}).get(pred, [])]
+    assert obj in rels
+
+
+def test_uie_cls_node_in_schema(vocab):
+    """A cls-options schema node goes through the M18 vote path."""
+    res = multi_stage_predict(
+        ["正向的评论内容"], ["情感倾向[正向,负向]"], vocab
+    )
+    out = res[0].get("情感倾向[正向,负向]", [])
+    assert out and out[0]["text"] == "正向"
+    assert "start" not in out[0]
+
+
 def test_uie_spark_matches_oracle(spark, vocab, pages, uie_schema):
     texts = [p["text"] for p in pages]
     urls = [p["url"] for p in pages]
