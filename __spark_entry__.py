@@ -40,8 +40,13 @@ _KG_CACHE: dict = {}
 
 
 def _kg(spark: SparkSession, sf_dir: str) -> dict:
-    if sf_dir in _KG_CACHE:
-        return _KG_CACHE[sf_dir]
+    # cache keyed by (application, sf_dir): persisted DataFrames die with
+    # their session, so a driver that recreates sessions per query must not
+    # get stale handles
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _KG_CACHE:
+        return _KG_CACHE[cache_key]
+    sf_dir_key = cache_key
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vocab, toks = derived_vocab(spark, docs)
     pages = docs_as_pages(docs)
@@ -81,7 +86,7 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
         "components": components,
         "graph_edges": graph_edges,
     }
-    _KG_CACHE[sf_dir] = out
+    _KG_CACHE[sf_dir_key] = out
     return out
 
 

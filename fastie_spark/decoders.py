@@ -101,28 +101,44 @@ class DedupList(list):
 
 def neighbors(host, argus, links):
     results = [host]
+    h2, h3 = host[2], host[3]
     for argu in argus:
-        if host[2:] + argu[2:] in links:
+        if (h2, h3, argu[2], argu[3]) in links:
             results.append(argu)
-    return list(sorted(results))
+    return sorted(results)
+
+
+class _OrderedSetList(list):
+    """Order-preserving append-if-absent over hashable-projectable items —
+    output-identical to DedupList (decode_utils.py:18-22), O(1) membership."""
+
+    def __init__(self):
+        super().__init__()
+        self._seen = set()
+
+    def append(self, x):  # noqa: A003
+        key = tuple(map(tuple, x)) if x and isinstance(x[0], (list, tuple)) else tuple(x)
+        if key not in self._seen:
+            self._seen.add(key)
+            super().append(x)
 
 
 def clique_search(argus, links):
     """Maximal-complete-subgraph search (decode_utils.py:44-62): find a
     non-adjacent pair, recurse on each one's neighbor set."""
-    Argus = DedupList()
+    Argus = _OrderedSetList()
     for i1, (_, _, h1, t1) in enumerate(argus):
         for i2, (_, _, h2, t2) in enumerate(argus):
             if i2 > i1 and (h1, t1, h2, t2) not in links:
                 Argus.append(neighbors(argus[i1], argus, links))
                 Argus.append(neighbors(argus[i2], argus, links))
     if Argus:
-        results = DedupList()
+        results = _OrderedSetList()
         for A in Argus:
             for a in clique_search(A, links):
                 results.append(a)
-        return results
-    return [list(sorted(argus))]
+        return list(results)
+    return [sorted(argus)]
 
 
 def event_decode_cells(

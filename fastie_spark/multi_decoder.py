@@ -30,7 +30,7 @@ from .decoders_ext import (
 )
 from .pipeline import MAX_LENGTH, repartition_by_url
 from .scorer import DictScorer, Vocab
-from .tokenizer import encode
+from .tokenizer import encode_meta as encode
 
 MULTI_SCHEMA = (
     "url string, decoder string, kind string, label string, start long, "

@@ -29,7 +29,7 @@ from .decoders import (
     w2ner_decode_grid,
 )
 from .scorer import DictScorer, Vocab
-from .tokenizer import encode
+from .tokenizer import encode_meta as encode
 
 BATCH_SIZE = 64  # reference default, decode_utils.py:123
 MAX_LENGTH = 512  # reference default, decode_utils.py:124

@@ -47,7 +47,7 @@ from .decoders import (
     gplinker_decode_cells,
 )
 from .scorer import DictScorer, Vocab
-from .tokenizer import encode
+from .tokenizer import encode_meta as encode
 
 MAX_LENGTH = 512  # reference default (decode_utils.py:124)
 CHUNK_LEN = MAX_LENGTH - 2  # max_predict_len (decode_utils.py:132)

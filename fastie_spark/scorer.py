@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from .matcher import MultiPatternMatcher
 from .tokenizer import char_span_to_token_span
 
 POS = 1.0  # logit assigned to dictionary hits
@@ -119,33 +120,94 @@ class DictScorer:
             (etype, [(role, arg.replace(" ", "-")) for role, arg in args])
             for etype, args in vocab.event_vocab
         ]
+        # one Aho-Corasick automaton over every surface any view needs; a
+        # single pass per chunk replaces hundreds of str.find scans
+        surfaces = {s for s, _ in self._masked_entities}
+        for a, _, o in self._masked_relations:
+            surfaces.add(a)
+            surfaces.add(o)
+        for _, args in self._masked_events:
+            surfaces.update(a for _, a in args)
+        self._matcher = MultiPatternMatcher(surfaces)
+        self._memo_text: str | None = None
+        self._memo: dict = {}
+        self._present_memo: dict = {}
+        # inverted indexes so the hot views iterate only surfaces PRESENT in
+        # the chunk (the AC map), never the whole vocabulary
+        self._ent_lids: dict = {}
+        for surf, lbl in self._masked_entities:
+            self._ent_lids.setdefault(surf, []).append(self.ner_label2id[lbl])
+        self._rel_by_subj: dict = {}
+        for a, p, o in self._masked_relations:
+            self._rel_by_subj.setdefault(a, []).append((self.pred2id[p], o))
+
+    def _occ_map(self, text: str) -> dict:
+        if text != self._memo_text:
+            self._memo = self._matcher.occurrences(text)
+            trunc = min(len(text), self.max_length - 2)
+            self._present_memo = {
+                surf: spans
+                for surf, starts in self._memo.items()
+                if (spans := [
+                    (st + 1, st + len(surf))
+                    for st in starts if st + len(surf) <= trunc
+                ])
+            }
+            self._memo_text = text
+        return self._memo
+
+    def _present(self, text: str) -> dict:
+        """{surface: [(s_tok, e_tok), ...]} for surfaces occurring in text
+        (truncation-filtered), computed once per chunk."""
+        self._occ_map(text)
+        return self._present_memo
+
+    def _occ(self, text: str, surface: str) -> list:
+        """Token spans (s_tok, e_tok) of surface in text, truncation-aware —
+        same contract as _occurrences, served from the shared AC pass."""
+        trunc = min(len(text), self.max_length - 2)
+        L = len(surface)
+        return [
+            (s + 1, s + L)
+            for s in self._occ_map(text).get(surface, ())
+            if s + L <= trunc
+        ]
 
     # ---- M1: GlobalPointer NER grid --------------------------------------
     def ner_cells(self, masked_text: str) -> set:
         """{(label_id, s_tok, e_tok)} with logit POS; fill NEG elsewhere."""
         cells = set()
-        for surf, lbl in self._masked_entities:
-            lid = self.ner_label2id[lbl]
-            for s_tok, e_tok in _occurrences(masked_text, surf, self.max_length):
-                cells.add((lid, s_tok, e_tok))
+        ent = self._ent_lids
+        for surf, spans in self._present(masked_text).items():
+            lids = ent.get(surf)
+            if not lids:
+                continue
+            for lid in lids:
+                for s_tok, e_tok in spans:
+                    cells.add((lid, s_tok, e_tok))
         return cells
 
     # ---- M8: GPLinker RE grids -------------------------------------------
     def re_cells(self, masked_text: str):
         """(entity_cells {(r,h,t)}, head_cells {(p,sh,oh)}, tail_cells {(p,st,ot)})."""
         ent, head, tail = set(), set(), set()
-        for subj, pred, obj in self._masked_relations:
-            p = self.pred2id[pred]
-            subj_occ = _occurrences(masked_text, subj, self.max_length)
-            obj_occ = _occurrences(masked_text, obj, self.max_length)
-            for sh, st in subj_occ:
-                ent.add((0, sh, st))
-            for oh, ot in obj_occ:
-                ent.add((1, oh, ot))
-            for sh, st in subj_occ:
+        present = self._present(masked_text)
+        for subj, subj_occ in present.items():
+            rels = self._rel_by_subj.get(subj)
+            if not rels:
+                continue
+            for p, obj in rels:
+                obj_occ = present.get(obj)
+                if not obj_occ:
+                    continue
+                for sh, st in subj_occ:
+                    ent.add((0, sh, st))
                 for oh, ot in obj_occ:
-                    head.add((p, sh, oh))
-                    tail.add((p, st, ot))
+                    ent.add((1, oh, ot))
+                for sh, st in subj_occ:
+                    for oh, ot in obj_occ:
+                        head.add((p, sh, oh))
+                        tail.add((p, st, ot))
         return ent, head, tail
 
     # ---- M14: GPLinker event grids ---------------------------------------
@@ -153,11 +215,12 @@ class DictScorer:
         """(argu_cells {(label_id,h,t)}, head_links {(h_min,h_max)},
         tail_links {(t_min,t_max)})."""
         argu, head, tail = set(), set(), set()
+        present = self._present(masked_text)
         for etype, args in self._masked_events:
             occ = []  # one occurrence set per (role, argument)
             for role, arg in args:
                 lid = self.event_label2id[f"{etype}@{role}"]
-                spans = _occurrences(masked_text, arg, self.max_length)
+                spans = present.get(arg, [])
                 for h, t in spans:
                     argu.add((lid, h, t))
                 if spans:
@@ -180,7 +243,7 @@ class DictScorer:
         starts, ends = [0] * l, [0] * l
         for surf, lbl in sorted(self._masked_entities):
             lid = self.ner_label2id[lbl] + 1
-            for s_tok, e_tok in _occurrences(masked_text, surf, self.max_length):
+            for s_tok, e_tok in self._occ(masked_text, surf):
                 if starts[s_tok] == 0:
                     starts[s_tok] = lid
                 if ends[e_tok] == 0:
@@ -203,7 +266,7 @@ class DictScorer:
         taken = [False] * l
         for surf, lbl in sorted(self._masked_entities):
             lid = self.ner_label2id[lbl]
-            for s_tok, e_tok in _occurrences(masked_text, surf, self.max_length):
+            for s_tok, e_tok in self._occ(masked_text, surf):
                 if any(taken[s_tok : e_tok + 1]):
                     continue
                 em[s_tok, 1 + lid] = 1.0
@@ -225,7 +288,7 @@ class DictScorer:
         em[:, 0] = 0.5
         taken = [False] * l
         for surf, _ in sorted(self._masked_entities):
-            for s_tok, e_tok in _occurrences(masked_text, surf, self.max_length):
+            for s_tok, e_tok in self._occ(masked_text, surf):
                 if any(taken[s_tok : e_tok + 1]):
                     continue
                 em[s_tok, 1] = 1.0
@@ -270,9 +333,10 @@ class DictScorer:
         L = min(len(masked_text), self.max_length - 2)
         C = len(self.ner_label2id)
         g = np.zeros((max(L, 1), max(L, 1), C), dtype=np.float32)
+        occ = self._occ_map(masked_text)
         for surf, lbl in self._masked_entities:
             lid = self.ner_label2id[lbl]
-            for s in find_all(masked_text, surf):
+            for s in occ.get(surf, ()):
                 e = s + len(surf)
                 if e > L:
                     continue
@@ -284,7 +348,7 @@ class DictScorer:
     def casrel_subjects(self, masked_text: str):
         starts, ends = set(), set()
         for subj, _, _ in self._masked_relations:
-            for sh, st in _occurrences(masked_text, subj, self.max_length):
+            for sh, st in self._occ(masked_text, subj):
                 starts.add(sh)
                 ends.add(st)
         return sorted(starts), sorted(ends)
@@ -302,7 +366,7 @@ class DictScorer:
                 if subj != surf:
                     continue
                 p = self.pred2id[pred]
-                for oh, ot in _occurrences(masked_text, obj, self.max_length):
+                for oh, ot in self._occ(masked_text, obj):
                     starts.append((oh, p))
                     ends.append((ot, p))
             return starts, ends
@@ -320,8 +384,8 @@ class DictScorer:
         label2id = {v: k for k, v in self.tplinker_re_labels().items()}
         spots = set()
         for subj, pred, obj in self._masked_relations:
-            so = _occurrences(masked_text, subj, self.max_length)
-            oo = _occurrences(masked_text, obj, self.max_length)
+            so = self._occ(masked_text, subj)
+            oo = self._occ(masked_text, obj)
             for sh, st in so:
                 spots.add((sh, st, label2id["ENT=EH2ET"]))
             for oh, ot in oo:
@@ -343,8 +407,8 @@ class DictScorer:
         cells: dict = {}
         for subj, pred, obj in sorted(self._masked_relations):
             r = self.pred2id[pred]
-            so = _occurrences(masked_text, subj, self.max_length)
-            oo = _occurrences(masked_text, obj, self.max_length)
+            so = self._occ(masked_text, subj)
+            oo = self._occ(masked_text, obj)
             for (sh, st) in so:
                 for (oh, ot) in oo:
                     subj_multi, obj_multi = st > sh, ot > oh
@@ -366,8 +430,8 @@ class DictScorer:
         cells: dict = {}
         for subj, pred, obj in sorted(self._masked_relations):
             p = self.pred2id[pred]
-            so = _occurrences(masked_text, subj, self.max_length)
-            oo = _occurrences(masked_text, obj, self.max_length)
+            so = self._occ(masked_text, subj)
+            oo = self._occ(masked_text, obj)
             for (sh, st) in so:
                 for (oh, ot) in oo:
                     cells.setdefault((p, sh, oh), 1)  # HB-TB
@@ -384,9 +448,10 @@ class DictScorer:
         First write wins (deterministic argmax tie-break)."""
         grid: dict = {}
         trunc = min(len(text), self.max_length - 2)
+        occ = self._occ_map(text)
         for surf, lbl in sorted(self._masked_entities):
             lid = self.ner_label2id[lbl] + 2
-            for s in find_all(text, surf):
+            for s in occ.get(surf, ()):
                 e = s + len(surf)  # exclusive char end
                 if e > trunc:
                     continue

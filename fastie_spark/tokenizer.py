@@ -42,6 +42,22 @@ def encode(text: str, max_length: int = 512) -> dict:
     return {"input_ids": input_ids, "offset_mapping": offsets, "seq_len": n + 2}
 
 
+_OFFSETS_CACHE: dict = {}
+
+
+def encode_meta(text: str, max_length: int = 512) -> dict:
+    """Hot-path variant of encode(): the decoders consume only seq_len and
+    offset_mapping (input_ids feed no grid in the dictionary scorer), and
+    the offset mapping depends only on the truncated LENGTH — served from a
+    module cache."""
+    n = min(len(text), max_length - 2)
+    off = _OFFSETS_CACHE.get(n)
+    if off is None:
+        off = [(0, 0)] + [(i, i + 1) for i in range(n)] + [(0, 0)]
+        _OFFSETS_CACHE[n] = off
+    return {"offset_mapping": off, "seq_len": n + 2}
+
+
 def char_span_to_token_span(start: int, end: int) -> tuple[int, int]:
     """Map a char span [start, end) to inclusive token indices (s_tok, e_tok).
 
