@@ -46,7 +46,11 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     if cache_key in _KG_CACHE:
         return _KG_CACHE[cache_key]
-    sf_dir_key = cache_key
+    # entries from other (stopped) sessions are unreachable — drop them so a
+    # session-per-query driver doesn't accumulate orphaned handles
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _KG_CACHE if k[0] != app]:
+        del _KG_CACHE[k]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vocab, toks = derived_vocab(spark, docs)
     pages = docs_as_pages(docs)
@@ -86,7 +90,7 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
         "components": components,
         "graph_edges": graph_edges,
     }
-    _KG_CACHE[sf_dir_key] = out
+    _KG_CACHE[cache_key] = out
     return out
 
 

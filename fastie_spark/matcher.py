@@ -47,8 +47,6 @@ class MultiPatternMatcher:
                 while f and ch not in self._goto[f]:
                     f = self._fail[f]
                 self._fail[child] = self._goto[f].get(ch, 0)
-                if self._fail[child] == child:
-                    self._fail[child] = 0
                 self._out[child] = self._out[child] + self._out[self._fail[child]]
 
     def occurrences(self, text: str) -> dict:

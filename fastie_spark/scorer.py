@@ -138,8 +138,12 @@ class DictScorer:
         for surf, lbl in self._masked_entities:
             self._ent_lids.setdefault(surf, []).append(self.ner_label2id[lbl])
         self._rel_by_subj: dict = {}
+        self._subj_surfaces: set = set()
+        self._obj_surfaces: set = set()
         for a, p, o in self._masked_relations:
             self._rel_by_subj.setdefault(a, []).append((self.pred2id[p], o))
+            self._subj_surfaces.add(a)
+            self._obj_surfaces.add(o)
 
     def _occ_map(self, text: str) -> dict:
         if text != self._memo_text:
@@ -192,6 +196,18 @@ class DictScorer:
         """(entity_cells {(r,h,t)}, head_cells {(p,sh,oh)}, tail_cells {(p,st,ot)})."""
         ent, head, tail = set(), set(), set()
         present = self._present(masked_text)
+        # entity cells fire for EVERY present subject/object surface, even
+        # when its relation partner is absent from the chunk — the reference
+        # model's entity grid is independent of the head/tail grids, and a
+        # lone subject can still pair with another relation's object in
+        # decode (orphan-cell regression caught in review)
+        for surf, spans in present.items():
+            if surf in self._subj_surfaces:
+                for sh, st in spans:
+                    ent.add((0, sh, st))
+            if surf in self._obj_surfaces:
+                for oh, ot in spans:
+                    ent.add((1, oh, ot))
         for subj, subj_occ in present.items():
             rels = self._rel_by_subj.get(subj)
             if not rels:
@@ -200,10 +216,6 @@ class DictScorer:
                 obj_occ = present.get(obj)
                 if not obj_occ:
                     continue
-                for sh, st in subj_occ:
-                    ent.add((0, sh, st))
-                for oh, ot in obj_occ:
-                    ent.add((1, oh, ot))
                 for sh, st in subj_occ:
                     for oh, ot in obj_occ:
                         head.add((p, sh, oh))
@@ -237,9 +249,7 @@ class DictScorer:
         """(start_labels, end_labels) over token positions, 0='O'; label ids
         offset by 1 (['O'] + sorted schemas, modeling_span.py:77-79).
         First write wins on conflicts (deterministic argmax tie-break)."""
-        from .tokenizer import encode
-
-        l = encode(masked_text, self.max_length)["seq_len"]
+        l = min(len(masked_text), self.max_length - 2) + 2
         starts, ends = [0] * l, [0] * l
         for surf, lbl in sorted(self._masked_entities):
             lid = self.ner_label2id[lbl] + 1
@@ -257,9 +267,7 @@ class DictScorer:
         First write wins per position."""
         import numpy as np
 
-        from .tokenizer import encode
-
-        l = encode(masked_text, self.max_length)["seq_len"]
+        l = min(len(masked_text), self.max_length - 2) + 2
         n = len(self.ner_label2id)
         em = np.zeros((l, 1 + 2 * n), dtype=np.float32)
         em[:, 0] = 0.5
@@ -281,9 +289,7 @@ class DictScorer:
         cascade CRF, modeling_crf.py:202-204). First write wins."""
         import numpy as np
 
-        from .tokenizer import encode
-
-        l = encode(masked_text, self.max_length)["seq_len"]
+        l = min(len(masked_text), self.max_length - 2) + 2
         em = np.zeros((l, 3), dtype=np.float32)
         em[:, 0] = 0.5
         taken = [False] * l

@@ -53,7 +53,9 @@ def encode_meta(text: str, max_length: int = 512) -> dict:
     n = min(len(text), max_length - 2)
     off = _OFFSETS_CACHE.get(n)
     if off is None:
-        off = [(0, 0)] + [(i, i + 1) for i in range(n)] + [(0, 0)]
+        # tuple: the cache entry is shared across callers — immutable by
+        # construction so no consumer can corrupt the mapping process-wide
+        off = tuple([(0, 0)] + [(i, i + 1) for i in range(n)] + [(0, 0)])
         _OFFSETS_CACHE[n] = off
     return {"offset_mapping": off, "seq_len": n + 2}
 

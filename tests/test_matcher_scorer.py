@@ -1,0 +1,82 @@
+"""CI parity gates for the optimized hot path: Aho-Corasick vs naive
+find_all, encode_meta vs encode, and the re_cells orphan-cell regression
+(subjects/objects whose relation partner is absent must still fill the
+entity grid — decode can pair them across relations)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fastie_spark.decoders import gplinker_decode_cells
+from fastie_spark.matcher import MultiPatternMatcher
+from fastie_spark.scorer import DictScorer, Vocab, find_all
+from fastie_spark.tokenizer import encode, encode_meta
+
+ALPHA = "abc"
+
+
+@given(
+    st.lists(st.text(ALPHA, min_size=1, max_size=5), min_size=1, max_size=15),
+    st.text(ALPHA, max_size=120),
+)
+@settings(max_examples=200, deadline=None)
+def test_matcher_equals_naive(patterns, text):
+    m = MultiPatternMatcher(patterns)
+    got = m.occurrences(text)
+    for p in set(patterns):
+        assert got.get(p, []) == find_all(text, p), p
+
+
+@given(st.text(max_size=1200), st.integers(min_value=3, max_value=512))
+@settings(max_examples=80, deadline=None)
+def test_encode_meta_equals_encode(text, max_length):
+    a = encode(text, max_length)
+    b = encode_meta(text, max_length)
+    assert a["seq_len"] == b["seq_len"]
+    assert list(a["offset_mapping"]) == list(b["offset_mapping"])
+
+
+def test_re_cells_orphan_entity_cells():
+    """Reviewer repro: subject 'ab' whose own object 'Z' is absent must
+    still contribute entity cells, because decode pairs it with another
+    relation's co-present object via shared head/tail cells (containment
+    between surfaces makes the head positions coincide)."""
+    v = Vocab(relation_vocab=[("ab", "p", "Z"), ("abc", "p", "Y"), ("b", "p", "Y")])
+    sc = DictScorer(v)
+    text = "abcY"
+    ent, head, tail = sc.re_cells(text)
+    # orphan subject 'ab' (object Z absent) still fills r=0 cells
+    assert (0, 1, 2) in ent
+    id2p = dict(enumerate(v.predicates()))
+    out = gplinker_decode_cells(ent, head, tail, len(text) + 2, text,
+                                encode_meta(text)["offset_mapping"], id2p)
+    assert ("p", "ab", "Y") in out  # the cross-relation pairing
+    assert ("p", "abc", "Y") in out and ("p", "b", "Y") in out
+
+
+def test_re_cells_matches_bruteforce_reference():
+    """Optimized re_cells == the original per-relation formulation for a
+    vocab WITH substring containment (the case fixtures never generate)."""
+    rels = [("ab", "p1", "bc"), ("abc", "p1", "c"), ("b", "p2", "ab"),
+            ("c", "p2", "abc")]
+    v = Vocab(relation_vocab=rels)
+    sc = DictScorer(v)
+    for text in ["abcabc", "ab", "bcbc", "xxabcx", "cab", ""]:
+        ent, head, tail = sc.re_cells(text)
+        # brute-force original semantics
+        bent, bhead, btail = set(), set(), set()
+        pred2id = sc.pred2id
+        for subj, pred, obj in rels:
+            p = pred2id[pred]
+            so = [(s + 1, s + len(subj)) for s in find_all(text, subj)
+                  if s + len(subj) <= min(len(text), 510)]
+            oo = [(s + 1, s + len(obj)) for s in find_all(text, obj)
+                  if s + len(obj) <= min(len(text), 510)]
+            for sh, st in so:
+                bent.add((0, sh, st))
+            for oh, ot in oo:
+                bent.add((1, oh, ot))
+            for sh, st in so:
+                for oh, ot in oo:
+                    bhead.add((p, sh, oh))
+                    btail.add((p, st, ot))
+        assert (ent, head, tail) == (bent, bhead, btail), text
