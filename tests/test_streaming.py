@@ -84,3 +84,41 @@ def test_mention_rate_window(spark, vocab, tmp_path):
     rows = spark.sql("SELECT * FROM rates").collect()
     assert sum(r["n_pages"] for r in rows) == 40
     assert all(r["window"]["start"] is not None for r in rows)
+
+
+def test_stateful_dedup_stream(spark, vocab, tmp_path):
+    """applyInPandasWithState cross-batch dedup: re-delivered urls are
+    suppressed on the second wave because per-shard state remembers them."""
+    from fastie_spark.streaming.stateful import dedup_stream
+
+    in_dir = str(tmp_path / "dd_in")
+    out_dir = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+    pages = build_pages(vocab, n_docs=30, seed=9)
+
+    def run_wave(rows):
+        local_df(spark, rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+        q = (
+            dedup_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_wave(pages[:20])
+    assert spark.read.parquet(out_dir).count() == 20
+    # wave 2: 10 repeats + 10 new -> only the 10 new pass the state filter
+    run_wave(pages[10:])
+    out = (
+        spark.read.parquet(out_dir)
+        .groupBy("url").count().collect()
+    )
+    assert len(out) == 30
+    assert all(r["count"] == 1 for r in out)
