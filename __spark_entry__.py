@@ -54,16 +54,19 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vocab, toks = derived_vocab(spark, docs)
     pages = docs_as_pages(docs)
-    ext = run_extraction(spark, pages, vocab, persist=False)
-    mentions = ext["mentions"].persist()
-    triples = ext["triples"].persist()
-    events = ext["events"].persist()
+    ext = run_extraction(spark, pages, vocab, persist=True)  # one UDF pass
+    mentions = ext["mentions"]
+    triples = ext["triples"].persist()  # feeds linking chain repeatedly
+    events = ext["events"]
 
     linker = local_df(
         spark, derived_linker_rows(toks),
         "alias string, canonical_id string, entity_type string, prior double",
     )
-    linked = link_triples(triples, linker).select(
+    # exact-match linking: the derived dictionary is surface-exact and the
+    # SQL oracle assigns ids per raw token, so normalization collisions
+    # (case/width-equal tokens) must not merge ids here
+    linked = link_triples(triples, linker, normalize=False).select(
         "url", "subj", "pred", "obj", "subj_id", "obj_id"
     ).persist()
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _driver_union_find(spark, pairs) -> DataFrame:
+def _driver_union_find(spark, pairs, node_type: str = "string") -> DataFrame:
     """Broadcast-scale fast path: classic union-find with path compression
     on the driver. Same output contract (component = min node id). Chosen
     adaptively like a broadcast join: below the threshold the whole edge
@@ -55,7 +55,7 @@ def _driver_union_find(spark, pairs) -> DataFrame:
     return local_df(
         spark,
         [{"node": n, "component": c} for n, c in rows],
-        "node string, component string",
+        f"node {node_type}, component {node_type}",
     )
 
 
@@ -79,7 +79,8 @@ def connected_components(
         n = small.limit(broadcast_threshold + 1).count()
         if n <= broadcast_threshold:
             pairs = [(r["u"], r["v"]) for r in small.collect()]
-            return _driver_union_find(edges.sparkSession, pairs)
+            node_type = edges.schema[src].dataType.simpleString()
+            return _driver_union_find(edges.sparkSession, pairs, node_type)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

@@ -65,7 +65,9 @@ def run_kg_job(
         manifest = materialize_snapshot(
             triples_linked, out_dir, snapshot_id, n_buckets=n_buckets
         )
-        prov = spark.read.parquet(f"{out_dir}/provenance")
+        prov = spark.read.parquet(f"{out_dir}/provenance").filter(
+            F.col("snapshot_id") == snapshot_id
+        )  # earlier snapshots coexist in the table; this graph is per-snapshot
         graph = build_graph_tables(prov, mentions_linked)
         graph["nodes"].coalesce(8).write.mode("overwrite").parquet(f"{out_dir}/nodes")
         graph["edges"].coalesce(8).write.mode("overwrite").parquet(f"{out_dir}/edges")

@@ -31,10 +31,14 @@ def normalize_surface(col: Column) -> Column:
     return F.lower(F.translate(col, _FW_SRC, _FW_DST))
 
 
-def prepare_linker_dict(linker: DataFrame) -> DataFrame:
-    """One best (canonical_id, entity_type, prior) per normalized alias."""
+def prepare_linker_dict(linker: DataFrame, normalize: bool = True) -> DataFrame:
+    """One best (canonical_id, entity_type, prior) per (normalized) alias.
+    normalize=False keeps exact surface matching — used when the dictionary
+    is already surface-exact (e.g. the derived vocab, whose SQL oracle
+    assigns ids per raw token and must not see normalization collisions)."""
+    key = normalize_surface(F.col("alias")) if normalize else F.col("alias")
     return (
-        linker.withColumn("alias_norm", normalize_surface(F.col("alias")))
+        linker.withColumn("alias_norm", key)
         .groupBy("alias_norm")
         .agg(
             F.expr(
@@ -52,7 +56,8 @@ def prepare_linker_dict(linker: DataFrame) -> DataFrame:
 
 
 def link_surfaces(
-    df: DataFrame, linker_prepared: DataFrame, surface_col: str, out_prefix: str
+    df: DataFrame, linker_prepared: DataFrame, surface_col: str,
+    out_prefix: str, normalize: bool = True,
 ) -> DataFrame:
     """Left broadcast-join df[surface_col] against the prepared dictionary,
     adding ``{out_prefix}_id`` (null = NIL / unlinkable mention)."""
@@ -61,18 +66,25 @@ def link_surfaces(
         F.col("canonical_id").alias(f"{out_prefix}_id"),
         F.col("prior").alias(f"{out_prefix}_prior"),
     )
+    key = (normalize_surface(F.col(surface_col)) if normalize
+           else F.col(surface_col))
     return (
-        df.withColumn("__norm", normalize_surface(F.col(surface_col)))
+        df.withColumn("__norm", key)
         .join(F.broadcast(d), F.col("__norm") == d["alias_norm"], "left")
         .drop("alias_norm", "__norm")
     )
 
 
-def link_mentions(mentions: DataFrame, linker: DataFrame) -> DataFrame:
-    return link_surfaces(mentions, prepare_linker_dict(linker), "surface", "entity")
+def link_mentions(mentions: DataFrame, linker: DataFrame,
+                  normalize: bool = True) -> DataFrame:
+    return link_surfaces(
+        mentions, prepare_linker_dict(linker, normalize), "surface", "entity",
+        normalize,
+    )
 
 
-def link_triples(triples: DataFrame, linker: DataFrame) -> DataFrame:
-    prepared = prepare_linker_dict(linker)
-    out = link_surfaces(triples, prepared, "subj", "subj")
-    return link_surfaces(out, prepared, "obj", "obj")
+def link_triples(triples: DataFrame, linker: DataFrame,
+                 normalize: bool = True) -> DataFrame:
+    prepared = prepare_linker_dict(linker, normalize)
+    out = link_surfaces(triples, prepared, "subj", "subj", normalize)
+    return link_surfaces(out, prepared, "obj", "obj", normalize)

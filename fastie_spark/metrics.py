@@ -40,7 +40,7 @@ def _event_arrays(events: DataFrame, require_trigger: bool) -> DataFrame:
     sorted argument array incl. the synthetic trigger tuple — the reference
     compares events as sorted tuple lists
     (precision_recall_fscore.py:44-55)."""
-    args = events.select(
+    args = events.filter(F.col("role").isNotNull()).select(
         "url", "event_key",
         F.struct("event_type", "role", "argument").alias("a"),
     )
@@ -78,8 +78,8 @@ def event_prf(pred: DataFrame, gold: DataFrame) -> dict:
     e_pred, e_gold = pe.count(), ge.count()
 
     keys = ["url", "event_type", "role", "argument"]
-    pa = pred.select(*keys).dropDuplicates(keys)
-    ga = gold.select(*keys).dropDuplicates(keys)
+    pa = pred.filter(F.col("role").isNotNull()).select(*keys).dropDuplicates(keys)
+    ga = gold.filter(F.col("role").isNotNull()).select(*keys).dropDuplicates(keys)
     a_tp = pa.join(ga, keys, "inner").count()
     a_pred, a_gold = pa.count(), ga.count()
 

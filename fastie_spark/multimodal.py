@@ -24,7 +24,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 MAGIC = b"FMM0"
-HEADER = ">4sc3HI" if False else None  # doc only; explicit pack below
 
 MEDIA_DDL = "media_id long, kind string, payload binary"
 META_DDL = (

@@ -106,7 +106,6 @@ def make_extract_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
         ner_id2label = dict(enumerate(vocab.ner_labels()))
         re_id2pred = dict(enumerate(vocab.predicates()))
         event_id2label = dict(enumerate(vocab.event_labels()))
-        n_extra = 8  # pad row tuples: subj..event_key
 
         for pdf in batches:
             rows = []
@@ -151,6 +150,12 @@ def make_extract_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
                                  None, None, None, ev["event_type"],
                                  ev.get("trigger"), role, arg, key)
                             )
+                        if not args:  # trigger-only event still exists
+                            rows.append(
+                                (url, "event", None, None, None, None,
+                                 None, None, None, ev["event_type"],
+                                 ev.get("trigger"), None, None, key)
+                            )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -191,7 +196,8 @@ def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
                 if from_html:
                     try:
                         text = extract_text_py(src)
-                    except (UnicodeDecodeError, ValueError):
+                    except (UnicodeDecodeError, ValueError, TypeError,
+                            AttributeError):
                         # real crawls carry garbage bytes; a poison page must
                         # not kill the task — it just yields no extractions
                         # (the byte-identity contract applies to well-formed
@@ -233,6 +239,12 @@ def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
                                     (url, "event", None, None, None, None,
                                      None, None, None, ev["event_type"],
                                      ev.get("trigger"), role, arg, key)
+                                )
+                            if not args:  # trigger-only event still exists
+                                rows.append(
+                                    (url, "event", None, None, None, None,
+                                     None, None, None, ev["event_type"],
+                                     ev.get("trigger"), None, None, key)
                                 )
                 for pred, subj, obj in doc_triples:  # J2 union done in-doc
                     rows.append(

@@ -36,7 +36,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .matcher import MultiPatternMatcher
-from .tokenizer import char_span_to_token_span
 
 POS = 1.0  # logit assigned to dictionary hits
 NEG = -1.0  # implied fill everywhere else
@@ -84,18 +83,6 @@ def find_all(text: str, sub: str) -> list:
         out.append(i)
         i = text.find(sub, i + 1)
     return out
-
-
-def _occurrences(masked_text: str, surface: str, max_len: int) -> list:
-    """Token spans (s_tok, e_tok inclusive) of surface occurrences that
-    survive truncation to max_len-2 content tokens."""
-    trunc = min(len(masked_text), max_len - 2)
-    spans = []
-    for s in find_all(masked_text, surface):
-        e = s + len(surface)
-        if e <= trunc:
-            spans.append(char_span_to_token_span(s, e))
-    return spans
 
 
 class DictScorer:

@@ -35,7 +35,13 @@ def _extract_udf():
     # session, so the decorator can't run at import time
     @F.pandas_udf("string")
     def udf(html: pd.Series) -> pd.Series:
-        return html.map(extract_text_py)
+        def safe(b):
+            try:
+                return extract_text_py(b)
+            except (UnicodeDecodeError, ValueError, TypeError, AttributeError):
+                return ""  # poison/null page -> empty extraction, not a dead task
+
+        return html.map(safe)
 
     return udf
 

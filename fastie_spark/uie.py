@@ -398,8 +398,15 @@ def run_uie_spark(spark, pages, vocab: Vocab, schema,
     result = out_parts[0]
     for p in out_parts[1:]:
         result = result.unionByName(p)
-    return result.select("url", "path", "parent", "span", "start", "end",
-                         "probability")
+    # materialize once, then release every per-node cache (they are only
+    # needed while the BFS composes child prompts) — repeated calls in a
+    # long-lived driver must not accumulate storage
+    result = result.select(
+        "url", "path", "parent", "span", "start", "end", "probability"
+    ).localCheckpoint(eager=True)
+    for p in out_parts:
+        p.unpersist()
+    return result
 
 
 def flatten_oracle_results(texts_urls, results, tree_schema) -> list:

@@ -105,6 +105,10 @@ def test_event_parity(extraction, oracle, pages):
                 want.setdefault(p["url"], set()).add(
                     (ev["event_type"], ev.get("trigger"), a["role"], a["argument"])
                 )
+            if not ev["arguments"]:  # trigger-only event -> null-role row
+                want.setdefault(p["url"], set()).add(
+                    (ev["event_type"], ev.get("trigger"), None, None)
+                )
     assert sum(len(v) for v in want.values()) > 10
     assert got == want
 
