@@ -124,3 +124,20 @@ def test_distributed_cc_star_graph_skew(spark):
     assert comps.count() == 4001
     root = comps.agg(F.min("component")).collect()[0][0]
     assert root == "hub"
+
+
+def test_distributed_cc_long_path_converges(spark):
+    """A 512-node path (diameter 511) must converge within the 25-round cap —
+    only possible because of the pointer-jumping step (O(log d) rounds)."""
+    import pyspark.sql.functions as F
+
+    from fastie_spark.cc import connected_components
+
+    edges = spark.range(0, 511).select(
+        F.format_string("n%04d", F.col("id")).alias("src"),
+        F.format_string("n%04d", F.col("id") + 1).alias("dst"),
+    )
+    comps = connected_components(edges, broadcast_threshold=0)
+    rows = comps.collect()
+    assert len(rows) == 512
+    assert {r["component"] for r in rows} == {"n0000"}
