@@ -65,4 +65,24 @@ def test_decoder_matrix_invariants(vt):
     # exact identities
     assert mentions.get("gp", set()) == mentions.get("tplinker", set())
     assert triples.get("pfn", set()) == triples.get("gplinker", set())
-    assert triples.get("gplinker", set()) <= triples.get("onerel", set())
+    # OneRel's single argmax tag per grid cell cannot represent triples
+    # whose HB-TB / HB-TE / HE-TE cells collide (within or across
+    # relations) — faithful tag-collision loss. Invariant: every gplinker
+    # triple MISSING from onerel must be explained by a collision, i.e. no
+    # occurrence pair has its three cells carrying the expected tags.
+    onerel = triples.get("onerel", set())
+    missing = triples.get("gplinker", set()) - onerel
+    if missing:
+        cells = scorer.onerel_cells(text)
+        occ = scorer._present(text)
+        pred2id = scorer.pred2id
+        for subj, pred, obj in missing:
+            p = pred2id[pred]
+            intact_pair_exists = any(
+                cells.get((p, sh, oh)) == 1
+                and cells.get((p, sh, ot)) == 2
+                and cells.get((p, st, ot)) == 3
+                for sh, st in occ.get(subj, [])
+                for oh, ot in occ.get(obj, [])
+            )
+            assert not intact_pair_exists, (subj, pred, obj, text)
