@@ -31,12 +31,14 @@ def run_kg_job(
     snapshot_id: str = "snap-000",
     num_partitions: int | None = None,
     n_buckets: int = 8,
+    repartition: bool = True,
 ) -> dict:
     """Returns dict with stage DataFrames and summary counts/timings."""
     t0 = time.time()
 
     stages = run_extraction_fused(
-        spark, pages, vocab, num_partitions=num_partitions, from_html=True
+        spark, pages, vocab, num_partitions=num_partitions, from_html=True,
+        repartition=repartition,
     )
 
     # stage 3: entity linking (broadcast dict join)

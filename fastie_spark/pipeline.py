@@ -271,13 +271,22 @@ def run_extraction_fused(
     do_events: bool = True,
     from_html: bool = True,
     persist: bool = True,
+    repartition: bool = True,
 ) -> dict:
     """Fused-stage variant of run_extraction. pages needs (url, html) when
     from_html else (url, text). Triples come out already per-doc-deduped
-    (J2), so no dropDuplicates shuffle."""
+    (J2), so no dropDuplicates shuffle.
+
+    repartition=False skips the explicit url-hash shuffle: the fused stage
+    is per-document, so co-location is not needed for correctness — only
+    for task sizing when the source's own splits are skewed. With a
+    well-bucketed source (e.g. an Iceberg table already bucketed by url)
+    the shuffle of the raw html bytes is pure cost."""
     cols = ["url", "html" if from_html else "text"]
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    src = repartition_by_url(pages.select(*cols), parts)
+    src = pages.select(*cols)
+    if repartition:
+        src = repartition_by_url(src, parts)
     raw = src.mapInPandas(
         make_fused_doc_fn(vocab, do_events=do_events, from_html=from_html),
         schema=EXTRACT_SCHEMA,
