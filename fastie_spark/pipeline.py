@@ -169,7 +169,8 @@ def make_extract_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
 
 
 def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
-                      do_events: bool = True, from_html: bool = True):
+                      do_events: bool = True, from_html: bool = True,
+                      split_sentence: bool = False):
     """Whole-document fused stage: html->text (P-extract), chunking (P6),
     space-mask (P3), tokenize (T1), score, decode (M1/M8/M14), chunk-rejoin
     (J1/J2) — all inside ONE Arrow batch pass, one row per page in.
@@ -180,7 +181,7 @@ def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
     all). The relational chunker in chunk_pages stays available as a
     standalone operator; this is the throughput path for the e2e job.
     """
-    from .chunking import char_bases, split_one
+    from .chunking import auto_splitter, char_bases, split_one
     from .text_extract import extract_text_py
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -205,7 +206,10 @@ def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
                         continue
                 else:
                     text = src
-                chunks = split_one(text, max_length - 2)
+                if split_sentence:
+                    chunks, _ = auto_splitter([text], max_length - 2, True)
+                else:
+                    chunks = split_one(text, max_length - 2)
                 bases = char_bases(chunks)
                 doc_triples: set = set()
                 for chunk_idx, (chunk, base) in enumerate(zip(chunks, bases)):
@@ -272,10 +276,12 @@ def run_extraction_fused(
     from_html: bool = True,
     persist: bool = True,
     repartition: bool = True,
+    split_sentence: bool = False,
 ) -> dict:
     """Fused-stage variant of run_extraction. pages needs (url, html) when
     from_html else (url, text). Triples come out already per-doc-deduped
-    (J2), so no dropDuplicates shuffle.
+    (J2), so no dropDuplicates shuffle. split_sentence enables the P5
+    sentence-level auto_splitter chunking (reference flag, default off).
 
     repartition=False skips the explicit url-hash shuffle: the fused stage
     is per-document, so co-location is not needed for correctness — only
@@ -288,7 +294,8 @@ def run_extraction_fused(
     if repartition:
         src = repartition_by_url(src, parts)
     raw = src.mapInPandas(
-        make_fused_doc_fn(vocab, do_events=do_events, from_html=from_html),
+        make_fused_doc_fn(vocab, do_events=do_events, from_html=from_html,
+                          split_sentence=split_sentence),
         schema=EXTRACT_SCHEMA,
     )
     if persist:

@@ -120,3 +120,29 @@ def test_partitioning_invariance(spark, pages_df, vocab, extraction):
     a = {tuple(r) for r in alt["triples"].collect()}
     b = {tuple(r) for r in extraction["triples"].collect()}
     assert a == b
+
+
+def test_sentence_split_mode_parity(spark, vocab, pages):
+    """split_sentence=True (P5 cut_chinese_sent inside auto_splitter) end to
+    end: fused Spark mentions == oracle with the same flag."""
+    from fastie_spark.pipeline import run_extraction_fused
+    from fastie_spark.session import local_df
+
+    oracle = OracleEngine(vocab, split_sentence=True)
+    texts = [p["text"] for p in pages]
+    want_docs = oracle.predict_ner(texts)
+    want = set()
+    for p, s in zip(pages, want_docs):
+        for t in s:
+            want.add((p["url"], *t))
+
+    pdf = local_df(
+        spark, [{"url": p["url"], "text": p["text"]} for p in pages],
+        "url string, text string",
+    )
+    out = run_extraction_fused(spark, pdf, vocab, from_html=False,
+                               persist=False, split_sentence=True)
+    got = {(r["url"], r["label"], r["start"], r["end"], r["surface"])
+           for r in out["mentions"].collect()}
+    assert len(want) > 100
+    assert got == want
