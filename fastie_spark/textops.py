@@ -695,6 +695,43 @@ WHERE rnk <= 3
 """
 
 
+# ------------------------------------------------- composite corpus filter
+def corpus_filter(spark, sf_dir):
+    """The end-user composition: training-ready corpus = exact-dedup winner
+    AND quality above threshold AND confident lang-id. One scan feeds all
+    three predicates; the dedup winner join is the only shuffle."""
+    d = _docs(spark, sf_dir)
+    keep = dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    lid = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    return (
+        d.select("doc_id", "lang", F.length("text").cast("long").alias("n_chars_obs"))
+        .join(keep, "doc_id")
+        .join(q, "doc_id")
+        .join(lid, "doc_id")
+        .filter((F.col("quality") > 0.05) & (F.col("pred_lang") != "unk"))
+        .select("doc_id", "lang", "pred_lang", "quality", "n_chars_obs")
+    )
+
+
+CORPUS_FILTER_SQL = f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))
+),
+q AS ({QUALITY_SCORE_SQL}),
+lid AS ({LANG_ID_SQL})
+SELECT d.doc_id, d.lang, lid.pred_lang, q.quality,
+       cast(length(d.text) AS BIGINT) AS n_chars_obs
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN q USING (doc_id)
+JOIN lid USING (doc_id)
+WHERE q.quality > 0.05 AND lid.pred_lang <> 'unk'
+"""
+
+
 # ---------------------------------------------------------------- registry
 REGISTRY: dict = {
     "chunk_stats": (chunk_stats, CHUNK_STATS_SQL),
@@ -717,4 +754,5 @@ REGISTRY: dict = {
     "emb_near_dup": (emb_near_dup, EMB_NEAR_DUP_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "knn_ivf": (knn_ivf, KNN_IVF_SQL),
+    "corpus_filter": (corpus_filter, CORPUS_FILTER_SQL),
 }
