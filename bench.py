@@ -164,10 +164,10 @@ def main():
         "kg_docs": n_docs,
         "kg_triples": main_run["n_triples"],
         "kg_triples_per_sec": round(main_run["triples_per_sec"], 1),
-        # measured N->4N scaling evidence (full sweep + hardware controls in
-        # BENCH/BASELINE.md; rerun live with SPARK_GRAFT_SCALING=1)
-        "scaling_reference": {
-            "measured": "2026-08-16 600k-doc sweep, warm walls",
+        # CACHED reference (not measured in this run) — the round-1 sweep
+        # recorded in BENCH/BASELINE.md; rerun live with SPARK_GRAFT_SCALING=1
+        "scaling_reference_cached": {
+            "measured_at": "2026-08-16 600k-doc sweep, warm walls (cached)",
             "local4_tps": 18232, "local8_tps": 41101,
             "local16_tps": 68314, "local32_tps": 66945,
             "efficiency_4_to_16": 0.937,

@@ -212,7 +212,7 @@ def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
                     chunks = split_one(text, max_length - 2)
                 bases = char_bases(chunks)
                 doc_triples: set = set()
-                for chunk_idx, (chunk, base) in enumerate(zip(chunks, bases)):
+                for chunk, base in zip(chunks, bases):
                     masked = chunk.replace(" ", "-")
                     enc = encode(masked, max_length)
                     l, mapping = enc["seq_len"], enc["offset_mapping"]
@@ -227,13 +227,18 @@ def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
                     doc_triples |= gplinker_decode_cells(
                         ent, head, tail, l, chunk, mapping, re_id2pred
                     )
-                    if do_events and chunk_idx == 0:
-                        argu, eh, et = scorer.event_cells(masked)
-                        for ev in event_set2json(
-                            event_decode_cells(
-                                argu, eh, et, l, chunk, mapping, event_id2label
-                            )
-                        ):
+                if do_events:
+                    # reference event driver truncates the DOC (no chunking,
+                    # decode_utils.py:104-136) — independent of chunk mode
+                    masked = text.replace(" ", "-")
+                    enc = encode(masked, max_length)
+                    l, mapping = enc["seq_len"], enc["offset_mapping"]
+                    argu, eh, et = scorer.event_cells(masked)
+                    for ev in event_set2json(
+                        event_decode_cells(
+                            argu, eh, et, l, text, mapping, event_id2label
+                        )
+                    ):
                             args = [(a["role"], a["argument"])
                                     for a in ev["arguments"]]
                             key = _event_key(url, ev["event_type"],

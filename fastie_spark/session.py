@@ -14,6 +14,18 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _cores_of(master: str) -> int:
+    """Best-effort core count from a master string: local[N], local[*],
+    local-cluster[workers,coresPerWorker,mem]."""
+    if "[" not in master:
+        return 32
+    body = master[master.find("[") + 1 : master.find("]")]
+    parts = body.split(",")
+    if len(parts) >= 2 and all(p.strip().isdigit() for p in parts[:2]):
+        return int(parts[0]) * int(parts[1])  # local-cluster
+    return 32 if parts[0] == "*" else max(8, int(parts[0]))
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "fastie_spark",
@@ -21,12 +33,14 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # None + no env = respect an externally provided master (spark-submit
+    # --master). Only fall back to local[cpus] when nothing is configured.
+    explicit = master or os.environ.get("SPARK_GRAFT_MASTER")
+    master = explicit or f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        shuffle_partitions = _cores_of(master)
     b = (
-        SparkSession.builder.master(master)
+        SparkSession.builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
@@ -42,6 +56,16 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    if explicit:
+        b = b.master(master)
+    else:
+        # no explicit master: let spark-submit's --master win if present
+        try:
+            spark = b.getOrCreate()
+            spark.sparkContext.setLogLevel("WARN")
+            return spark
+        except Exception:
+            b = b.master(master)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

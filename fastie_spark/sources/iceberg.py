@@ -13,13 +13,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-ICEBERG_CONF = {
-    # the standard catalog wiring, applied when the jars exist
-    "spark.sql.extensions":
-        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
-    "spark.sql.catalog.graph": "org.apache.iceberg.spark.SparkCatalog",
-    "spark.sql.catalog.graph.type": "hadoop",
-}
+def iceberg_session_conf(warehouse: str) -> dict:
+    """Catalog wiring for get_spark(extra_conf=...). Session extensions and
+    catalogs must be set BEFORE session creation — build the session with
+    this conf (plus the runtime jar on the classpath) to enable the
+    graph.* tables; without it write_table/read_table use the parquet
+    fallback."""
+    return {
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions."
+            "IcebergSparkSessionExtensions",
+        "spark.sql.catalog.graph": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.graph.type": "hadoop",
+        "spark.sql.catalog.graph.warehouse": warehouse,
+    }
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -39,7 +46,13 @@ def write_table(df: DataFrame, name: str, parquet_fallback: str,
     spark = df.sparkSession
     if iceberg_available(spark):
         writer = df.writeTo(f"graph.{name}")
-        (writer.append() if mode == "append" else writer.createOrReplace())
+        if mode != "append":
+            writer.createOrReplace()
+        else:
+            try:
+                writer.append()
+            except Exception:  # first write: table does not exist yet
+                writer.create()
         return f"iceberg:graph.{name}"
     df.write.mode("overwrite" if mode != "append" else "append").parquet(
         parquet_fallback

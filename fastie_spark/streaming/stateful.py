@@ -29,6 +29,8 @@ def _dedup_fn(
     out = []
     for pdf in pdfs:
         for url, text, lang in zip(pdf["url"], pdf["text"], pdf["lang"]):
+            if url is None:  # poison row: drop, never into state
+                continue
             if url not in seen:
                 seen.add(url)
                 out.append((url, text, lang))

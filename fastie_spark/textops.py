@@ -698,19 +698,31 @@ WHERE rnk <= 3
 # ------------------------------------------------- composite corpus filter
 def corpus_filter(spark, sf_dir):
     """The end-user composition: training-ready corpus = exact-dedup winner
-    AND quality above threshold AND confident lang-id. One scan feeds all
-    three predicates; the dedup winner join is the only shuffle."""
+    AND quality above threshold AND confident lang-id. quality/lang-id are
+    per-row projections computed in ONE scan; the dedup-winner semi-join is
+    the only aggregation/shuffle."""
     d = _docs(spark, sf_dir)
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT_RE), 0))
+    n_chars = F.length("text")
+    ascii_n = F.length(F.regexp_replace(F.col("text"), _ASCII_RE, ""))
+    per_row = d.select(
+        "doc_id", "lang",
+        n_chars.cast("long").alias("n_chars_obs"),
+        F.round(
+            F.least(n_chars, F.lit(2000)) / 2000.0
+            * (1.0 - n_punct / F.greatest(n_chars, F.lit(1))),
+            6,
+        ).alias("quality"),
+        F.when(n_chars == 0, F.lit("unk"))
+        .when(ascii_n / n_chars > 0.65, F.lit("en"))
+        .otherwise(F.lit("zh"))
+        .alias("pred_lang"),
+    )
     keep = dedup_exact(spark, sf_dir).select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
-    lid = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
     return (
-        d.select("doc_id", "lang", F.length("text").cast("long").alias("n_chars_obs"))
-        .join(keep, "doc_id")
-        .join(q, "doc_id")
-        .join(lid, "doc_id")
+        per_row.join(keep, "doc_id", "left_semi")
         .filter((F.col("quality") > 0.05) & (F.col("pred_lang") != "unk"))
         .select("doc_id", "lang", "pred_lang", "quality", "n_chars_obs")
     )

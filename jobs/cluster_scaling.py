@@ -33,8 +33,11 @@ def main() -> None:
     from fastie_spark.session import get_spark, local_df
 
     zip_path = os.path.join(tempfile.gettempdir(), "fastie_spark.zip")
+    if os.path.exists(zip_path):
+        os.remove(zip_path)  # zip -r updates in place; stale modules linger
     subprocess.run(
-        ["zip", "-qr", zip_path, "fastie_spark"], cwd=REPO, check=True
+        ["zip", "-qr", zip_path, "fastie_spark", "-x", "*__pycache__*"],
+        cwd=REPO, check=True,
     )
 
     spark = get_spark(master=master, shuffle_partitions=shuf,

@@ -141,8 +141,24 @@ def test_sentence_split_mode_parity(spark, vocab, pages):
         "url string, text string",
     )
     out = run_extraction_fused(spark, pdf, vocab, from_html=False,
-                               persist=False, split_sentence=True)
+                               persist=True, split_sentence=True)
     got = {(r["url"], r["label"], r["start"], r["end"], r["surface"])
            for r in out["mentions"].collect()}
     assert len(want) > 100
     assert got == want
+    # events must follow the reference truncate-only semantics regardless of
+    # the chunking mode (review finding: chunk0 under sentence mode is the
+    # first SENTENCE, not the first 510 chars)
+    ev_want = set()
+    for p, evs in zip(pages, OracleEngine(vocab).predict_events(texts)):
+        for ev in evs:
+            for a in ev["arguments"]:
+                ev_want.add((p["url"], ev["event_type"], ev.get("trigger"),
+                             a["role"], a["argument"]))
+            if not ev["arguments"]:
+                ev_want.add((p["url"], ev["event_type"], ev.get("trigger"),
+                             None, None))
+    ev_got = {(r["url"], r["event_type"], r["trigger"], r["role"], r["argument"])
+              for r in out["events"].collect()}
+    out["_raw"].unpersist()
+    assert ev_got == ev_want
