@@ -97,3 +97,12 @@ def test_fused_extraction_no_extra_shuffle(spark, vocab, pages_df):
     assert plan.count("Exchange") == 1
     # and the whole decode stage is a single python stage
     assert plan.count("MapInPandas") == 1
+
+
+def test_corpus_filter_single_scan_for_predicates(spark):
+    """corpus_filter computes quality + lang-id in the same projection —
+    the plan must show exactly two scans of documents (per-row side +
+    dedup-winner side) and a semi join."""
+    plan = plan_tree(REGISTRY["corpus_filter"][0](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 2
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
