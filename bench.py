@@ -28,7 +28,6 @@ sys.path.insert(0, REPO)
 from fastie_spark.fixtures import (  # noqa: E402
     build_alias_edges,
     build_linker_dict,
-    build_pages,
     build_vocab,
 )
 from fastie_spark.kg_job import run_kg_job  # noqa: E402

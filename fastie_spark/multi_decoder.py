@@ -14,7 +14,6 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .decoders import gp_decode_cells, gplinker_decode_cells, w2ner_decode_grid
 from .decoders_ext import (

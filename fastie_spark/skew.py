@@ -13,7 +13,7 @@ final. Salt = pmod(xxhash64(a row-unique column), n_salts), deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"

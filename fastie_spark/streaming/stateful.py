@@ -10,7 +10,7 @@ analogue of dedup_exact, with bounded state per shard (hashes, not pages).
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Tuple
+from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
