@@ -80,6 +80,12 @@ def connected_components(
         if n <= broadcast_threshold:
             pairs = [(r["u"], r["v"]) for r in small.collect()]
             node_type = edges.schema[src].dataType.simpleString()
+            if not pairs:
+                # a legitimate empty alias table must yield an empty result,
+                # not an IndexError from a column-less pandas frame
+                return edges.sparkSession.createDataFrame(
+                    [], f"node {node_type}, component {node_type}"
+                )
             return _driver_union_find(edges.sparkSession, pairs, node_type)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

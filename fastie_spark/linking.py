@@ -6,7 +6,8 @@ SURVEY.md §0); semantics specified by SURVEY.md §7.1 step 7:
 - surface normalization = ``dbc2sbc`` full-width -> half-width
   (/root/reference/fastie/models/uie/decode_utils.py:118-130) + lowercase.
   dbc2sbc is expressed JVM-side with ``translate`` over the 94-char
-  full-width block + ideographic space — no UDF, stays in codegen.
+  full-width block (U+3000 deliberately unmapped, matching the reference
+  quirk) — no UDF, stays in codegen.
 - the linker dictionary is pre-aggregated to one best row per normalized
   alias (highest prior, then smallest canonical_id — deterministic), so the
   join is 1:<=1 and needs no post-join window.
@@ -22,12 +23,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_FW_SRC = "".join(chr(c + 0xFEE0) for c in range(0x21, 0x7F)) + "　"
-_FW_DST = "".join(chr(c) for c in range(0x21, 0x7F)) + " "
+_FW_SRC = "".join(chr(c + 0xFEE0) for c in range(0x21, 0x7F))
+_FW_DST = "".join(chr(c) for c in range(0x21, 0x7F))
 
 
 def normalize_surface(col: Column) -> Column:
-    """dbc2sbc + lower, as a codegen-friendly expression."""
+    """dbc2sbc + lower, as a codegen-friendly expression. Exactly matches
+    decoders.dbc2sbc (decode_utils.py:118-130) including its quirk: U+3000
+    (ideographic space) stays UNMAPPED, so a linker surface and a decode
+    surface normalize identically."""
     return F.lower(F.translate(col, _FW_SRC, _FW_DST))
 
 

@@ -148,7 +148,11 @@ def materialize_snapshot(
         # instead of a second full pass over the upstream pipeline
         counts = {
             r[BUCKET_COL]: r["n"]
-            for r in spark.read.parquet(prov_dir)
+            # explicit schema: an empty snapshot (zero triples in a batch)
+            # writes no parquet files, and a schema-less readback would fail
+            # with UNABLE_TO_INFER_SCHEMA — the streaming foreachBatch path
+            # hits this on any batch that yields no triples
+            for r in spark.read.schema(pending.schema).parquet(prov_dir)
             .filter(
                 (F.col("snapshot_id") == snapshot_id)
                 & F.col(BUCKET_COL).isin(todo)

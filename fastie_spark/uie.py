@@ -207,15 +207,21 @@ def get_bool_ids_greater_than_prob(probs, limit):
 def single_stage_predict(inputs: list, scorer: UIEScorer,
                          max_length: int = MAX_LENGTH,
                          split_sentence: bool = False,
-                         position_prob: float = POSITION_PROB) -> list:
+                         position_prob: float = POSITION_PROB,
+                         max_prompt_len: int | None = None) -> list:
     """examples [{'text','prompt'}] -> per-example result lists
     (decode_utils.py:389-471). Reference quirk kept: max_predict_len uses
-    the length of the LEXICOGRAPHIC max prompt."""
+    the length of the LEXICOGRAPHIC max prompt. The Spark path passes
+    ``max_prompt_len`` = len(node-global lexicographic max prompt) so each
+    row reproduces the reference's batch-level value without a dummy
+    example (every row prompt is <= that max by construction)."""
     if not inputs:
         return []
     input_texts = [x["text"] for x in inputs]
     prompts = [x["prompt"] for x in inputs]
-    max_predict_len = max_length - len(max(prompts)) - 3
+    if max_prompt_len is None:
+        max_prompt_len = len(max(prompts))
+    max_predict_len = max_length - max_prompt_len - 3
 
     short_texts, input_mapping = _auto_splitter(
         input_texts, max_predict_len, split_sentence=split_sentence
@@ -323,12 +329,13 @@ def _uie_stage_fn(vocab: Vocab, max_prompt: str, max_length: int,
             for url, text, prompt, parent in zip(
                 pdf["url"], pdf["text"], pdf["prompt"], pdf["parent"]
             ):
-                # reproduce the batch-level max_predict_len: the node-global
-                # lexicographic max prompt is passed in from the driver
+                # batch-level max_predict_len: the node-global lexicographic
+                # max prompt length is passed in from the driver, so ONE
+                # predict per row reproduces the reference batch semantics
                 res = single_stage_predict(
-                    [{"text": text, "prompt": prompt},
-                     {"text": "", "prompt": max_prompt}],
+                    [{"text": text, "prompt": prompt}],
                     scorer, max_length, split_sentence, position_prob,
+                    max_prompt_len=len(max_prompt),
                 )[0]
                 for r in res:
                     rows.append(
@@ -343,17 +350,51 @@ def _uie_stage_fn(vocab: Vocab, max_prompt: str, max_length: int,
     return fn
 
 
+_FW_SRC = "".join(chr(c + 0xFEE0) for c in range(0x21, 0x7F))
+_FW_DST = "".join(chr(c) for c in range(0x21, 0x7F))
+
+
+def _dbc2sbc_col(col):
+    """dbc2sbc as a codegen translate over the 0xFF01-0xFF5E block (U+3000
+    deliberately unmapped — decoders.dbc2sbc quirk). Applied to the WHOLE
+    composed prompt, exactly as the reference dbc2sbc(prompt) call
+    (decode_utils.py:266), so a full-width parent span normalizes too."""
+    from pyspark.sql import functions as F
+
+    return F.translate(col, _FW_SRC, _FW_DST)
+
+
 def run_uie_spark(spark, pages, vocab: Vocab, schema,
                   max_length: int = MAX_LENGTH, split_sentence: bool = False,
-                  position_prob: float = POSITION_PROB):
+                  position_prob: float = POSITION_PROB,
+                  is_english: bool = False):
     """pages(url, text) + ad-hoc schema -> flat result rows
-    (url, path, parent, span, start, end, probability)."""
+    (url, path, parent, span, start, end, probability). is_english switches
+    the child prompt composition to the reference English mode
+    (decode_utils.py:251-263): '{name} of {span}', with the cls-option
+    splice '{prefix} of {span} {cls_options}' for cls nodes."""
     from pyspark.sql import functions as F
 
     if isinstance(schema, (dict, str)):
         schema = [schema]
     tree = build_tree(schema)
     texts = pages.select("url", "text")
+
+    def compose_child_prompt(child_name: str):
+        """Column expr for the composed child prompt from F.col('span'),
+        normalized as a whole (reference applies dbc2sbc to the full
+        composed prompt, parent span included)."""
+        if is_english:
+            m = _CLS_RE.search(child_name)
+            if m:
+                prefix = child_name[: child_name.find("[", 1)].strip()
+                raw = F.concat(F.lit(prefix + " of "), F.col("span"),
+                               F.lit(" " + m.group()))
+            else:
+                raw = F.concat(F.lit(child_name + " of "), F.col("span"))
+        else:
+            raw = F.concat(F.col("span"), F.lit("的" + child_name))
+        return _dbc2sbc_col(raw)
 
     out_parts = []
     # queue entries: (node, path, prompts_df(url, prompt, parent) | None)
@@ -380,15 +421,12 @@ def run_uie_spark(spark, pages, vocab: Vocab, schema,
         out_parts.append(out)
         if node.children:
             child_base = out.select(
-                "url", F.col("span").alias("parent"),
-                F.concat(F.col("span"), F.lit("的")).alias("prefix"),
+                "url", F.col("span").alias("parent"), "span"
             )
             for child in node.children:
                 child_prompts = child_base.select(
                     "url",
-                    F.concat(F.col("prefix"), F.lit(dbc2sbc(child.name))).alias(
-                        "prompt"
-                    ),
+                    compose_child_prompt(child.name).alias("prompt"),
                     "parent",
                 )
                 queue.append((child, f"{path}/{child.name}", child_prompts))

@@ -34,7 +34,8 @@ def edges_df(spark, alias_fixture):
 def test_normalize_surface(spark):
     df = spark.createDataFrame([("Ａｂｃ　Ｘ",), ("MiXeD",)], "s string")
     out = [r["n"] for r in df.select(normalize_surface(F.col("s")).alias("n")).collect()]
-    assert out == ["abc x", "mixed"]
+    # U+3000 stays unmapped — exact dbc2sbc parity (decoders.dbc2sbc quirk)
+    assert out == ["abc　x", "mixed"]
 
 
 def test_linking_exact_and_variant(spark, vocab, linker_df, pages_df):
@@ -142,3 +143,28 @@ def test_resume_idempotent(spark, pages_df, vocab, linker_df, edges_df, tmp_path
     assert b.select(cols).exceptAll(a.select(cols)).count() == 0
     man2 = read_manifest(part_dir, "s2")
     assert set(man2["buckets"]) == {"0", "1", "2", "3"}
+
+
+def test_cc_empty_edges(spark):
+    """An empty (but legitimate) alias table must yield an empty component
+    table, not crash the broadcast fast path (round-2 ADVICE fix)."""
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = connected_components(edges)
+    assert out.count() == 0
+    assert out.columns == ["node", "component"]
+
+
+def test_materialize_empty_snapshot(spark, tmp_path):
+    """Zero triples in a snapshot (e.g. one streaming micro-batch yielding
+    nothing) must still commit a manifest with zero counts instead of
+    failing the schema-inference readback (round-2 ADVICE fix)."""
+    empty = spark.createDataFrame(
+        [], "url string, subj string, pred string, obj string, "
+            "subj_id string, obj_id string, subj_comp string, obj_comp string"
+    )
+    out_dir = str(tmp_path / "empty_snap")
+    man = materialize_snapshot(empty, out_dir, "s0", n_buckets=4)
+    assert sum(b["triples"] for b in man["buckets"].values()) == 0
+    # a second (resume) call is a no-op and still succeeds
+    man2 = materialize_snapshot(empty, out_dir, "s0", n_buckets=4)
+    assert man2["buckets"] == man["buckets"]

@@ -118,3 +118,65 @@ def test_uie_spark_matches_oracle(spark, vocab, pages, uie_schema):
         for r in got_rows
     )
     assert got == want
+
+
+def _spark_uie_counter(spark, urls, texts, vocab, schema, is_english=False):
+    pages_df = spark.createDataFrame(
+        [{"url": u, "text": t} for u, t in zip(urls, texts)],
+        "url string, text string",
+    )
+    rows = run_uie_spark(spark, pages_df, vocab, schema,
+                         is_english=is_english).collect()
+    return Counter(
+        (r["url"], r["path"], r["parent"], r["span"], r["start"], r["end"],
+         r["probability"]) for r in rows
+    )
+
+
+def test_uie_spark_fullwidth_span_parity(spark):
+    """A full-width extracted span must be dbc2sbc-normalized as part of the
+    WHOLE composed child prompt (reference decode_utils.py:266) — the
+    relation key here is the normalized form, so rows appear only when the
+    Spark path normalizes the composed prompt exactly like the oracle."""
+    from fastie_spark.scorer import Vocab
+
+    vocab = Vocab(
+        entity_vocab=[("Ｂｏｂ公司", "org"), ("中本聪", "per")],
+        relation_vocab=[("Bob公司", "founder", "中本聪")],
+    )
+    schema = [{"org": ["founder"]}]
+    texts = ["据报道Ｂｏｂ公司由中本聪创立。", "无关文本。"]
+    urls = ["u1", "u2"]
+    oracle = multi_stage_predict(texts, schema, vocab)
+    want = Counter(flatten_oracle_results(urls, oracle, schema))
+    got = _spark_uie_counter(spark, urls, texts, vocab, schema)
+    assert got == want
+    # the fix is exercised: the child relation actually fired
+    assert any(k[1] == "org/founder" for k in want)
+
+
+def test_uie_spark_english_mode_parity(spark):
+    """English prompt composition on the Spark path ('{name} of {span}' and
+    the cls-option splice) matches multi_stage_predict(is_english=True)."""
+    from fastie_spark.scorer import Vocab
+
+    vocab = Vocab(
+        entity_vocab=[("Acme", "org"), ("Bob", "per")],
+        relation_vocab=[("Acme", "founder", "Bob")],
+    )
+    schema = [{"org": ["founder", "sentiment[positive,negative]"]}]
+    texts = [
+        "Acme was founded by Bob. A positive story about Acme.",
+        "Nothing relevant here.",
+        "Acme again, negative tone only: negative.",
+    ]
+    urls = ["e1", "e2", "e3"]
+    oracle = multi_stage_predict(texts, schema, vocab, is_english=True)
+    want = Counter(flatten_oracle_results(urls, oracle, schema))
+    got = _spark_uie_counter(spark, urls, texts, vocab, schema,
+                             is_english=True)
+    assert got == want
+    assert any(k[1] == "org/founder" for k in want)          # relation fired
+    assert any(
+        k[1] == "org/sentiment[positive,negative]" for k in want
+    )  # cls splice fired
