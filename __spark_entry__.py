@@ -4,12 +4,13 @@ entry():      flagship GPLinker triple extraction over sf0.001 documents.
 queries():    every implemented operator from SURVEY.md §2 + the KG chain +
               the training-data-pipeline ops (dedup/similarity/text
               analysis), each as (spark, sf_dir) -> DataFrame.
-oracle_sql(): matching DuckDB SQL. The KG chain (mention detect -> GPLinker
-              triples -> linking -> canonicalization -> graph edges) uses a
-              vocabulary derived from the documents table by a closed-form
-              rule (fastie_spark/derive.py), so even the extraction
-              operators have exact SQL oracles; only event extraction
-              (clique search) is rows-only.
+oracle_sql(): matching DuckDB SQL for EVERY query. The KG chain (mention
+              detect -> GPLinker triples -> linking -> canonicalization ->
+              graph edges), event extraction (clique search on per-pattern
+              event types), the M1-M13 decoder matrix, and UIE schema-tree
+              traversal all use a vocabulary derived from the documents
+              table by a closed-form rule (fastie_spark/derive.py), so each
+              has an exact SQL oracle.
 """
 
 from __future__ import annotations
@@ -111,7 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     def decoder_coverage(s, d):
         """Per-decoder mention/triple counts over the full M1-M13 decoder
-        matrix (rows-only check; per-decoder semantics are pytest-gated)."""
+        matrix (exact oracle: _DECODER_COVERAGE_SQL; per-decoder semantics
+        are additionally pytest-gated)."""
         from fastie_spark.multi_decoder import run_multi_decoder
 
         docs = s.read.parquet(f"{d}/documents.parquet")
@@ -127,8 +129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def uie_extract(s, d):
         """UIE schema-tree extraction (M16-M18) over derived vocab: 2-level
-        schema {label: [pred, pred]} + a flat label (rows-only check;
-        Spark==oracle parity is pytest-gated in tests/test_uie.py)."""
+        schema {label: [pred]} + a flat label (exact oracle: _UIE_SQL;
+        Spark==multi_stage_predict parity is pytest-gated in
+        tests/test_uie.py)."""
         from fastie_spark.uie import run_uie_spark
 
         docs = s.read.parquet(f"{d}/documents.parquet")
@@ -316,6 +319,218 @@ FROM triples GROUP BY 1, 2, 3
 )
 
 
+# uie_extract: closed-form M16-M18 outcome over the derived vocab. The UIE
+# auto-splitter uses per-node windows W = 509 - len(lexicographic-max prompt
+# at that node); a result row is an occurrence fully inside one window that
+# also fits this row's content_keep = 509 - len(its own prompt) (reference
+# max_predict_len quirk). Level-2 prompts are dbc2sbc(span + '的' + pred)
+# matched by exact string equality against subj || '的' || pred over the
+# whole relation vocab (the scorer's by_subj probe), one output row per
+# (level-1 occurrence row) x (object occurrence). No-overlap property of the
+# derived vocab (asserted in tests) makes the start/end pairing exact.
+_UIE_FW_SRC = "".join(chr(c + 0xFEE0) for c in range(0x21, 0x7F))
+_UIE_FW_DST = "".join(chr(c) for c in range(0x21, 0x7F)).replace("'", "''")
+
+_UIE_SQL = (
+    "WITH " + _VOCAB_CTE + r""",
+occ_all AS (
+  SELECT doc_id, tok, i,
+         cast(p - 1 AS BIGINT) AS pos, cast(length(tok) AS BIGINT) AS len
+  FROM de, unnest(generate_series(1, length(de.text))) AS t(p)
+  WHERE substring(de.text, cast(p AS INT), length(de.tok)) = de.tok
+),
+r0 AS (SELECT subj, pred FROM rel ORDER BY subj, pred, obj LIMIT 1),
+lblv AS (
+  SELECT (""" + _LABELS_SQL + r""")[e.i % 8 + 1] AS l
+  FROM r0 JOIN ent e ON e.tok = r0.subj
+),
+othv AS (
+  SELECT (""" + _LABELS_SQL + r""")[g.i] AS o
+  FROM generate_series(1, 8) AS g(i), lblv
+  WHERE (""" + _LABELS_SQL + r""")[g.i] <> lblv.l
+  ORDER BY g.i LIMIT 1
+),
+nodes AS (SELECT l AS name FROM lblv UNION ALL SELECT o FROM othv),
+lv1 AS (
+  SELECT o.doc_id, n.name AS path, o.tok AS span,
+         o.pos AS start, o.pos + o.len AS "end"
+  FROM nodes n
+  JOIN ent e ON (""" + _LABELS_SQL + r""")[e.i % 8 + 1] = n.name
+  JOIN occ_all o ON o.tok = e.tok
+  WHERE o.pos // (509 - length(n.name))
+        = (o.pos + o.len - 1) // (509 - length(n.name))
+),
+lv1_lbl AS (SELECT lv1.* FROM lv1, lblv WHERE lv1.path = lblv.l),
+span_objs AS (
+  SELECT DISTINCT s.span, r2.obj
+  FROM (SELECT DISTINCT span FROM lv1_lbl) s, r0
+  JOIN rel r2
+    ON translate(s.span || '的' || r0.pred, '""" + _UIE_FW_SRC + r"""',
+                 '""" + _UIE_FW_DST + r"""')
+       = r2.subj || '的' || r2.pred
+),
+w2 AS (
+  SELECT 509 - length(max(translate(span || '的' || r0.pred,
+                                    '""" + _UIE_FW_SRC + r"""',
+                                    '""" + _UIE_FW_DST + r"""')))
+         AS w
+  FROM lv1_lbl, r0
+),
+lv2 AS (
+  SELECT p.doc_id, lblv.l || '/' || r0.pred AS path, p.span AS parent,
+         oo.tok AS span, oo.pos AS start, oo.pos + oo.len AS "end"
+  FROM lv1_lbl p
+  JOIN span_objs so ON so.span = p.span
+  JOIN occ_all oo ON oo.doc_id = p.doc_id AND oo.tok = so.obj
+  CROSS JOIN w2 CROSS JOIN r0 CROSS JOIN lblv
+  WHERE oo.pos // w2.w = (oo.pos + oo.len - 1) // w2.w
+    AND (oo.pos % w2.w) + oo.len
+        <= 509 - (length(p.span) + 1 + length(r0.pred))
+)
+SELECT 'doc://' || doc_id AS url, path, CAST(NULL AS VARCHAR) AS parent,
+       span, start, "end", cast(1.0 AS DOUBLE) AS probability
+FROM lv1
+UNION ALL
+SELECT 'doc://' || doc_id, path, parent, span, start, "end",
+       cast(1.0 AS DOUBLE)
+FROM lv2
+"""
+)
+
+
+# decoder_coverage: closed-form per-decoder counts over the dictionary
+# scorer. With the derived vocab, occurrences of distinct surfaces never
+# overlap (containment-filtered candidates; property asserted in
+# tests/test_entry_contract.py::test_no_overlapping_occurrences), so:
+#   - every NER decoder (gp/w2ner/span/crf/cascade_crf/tplinker/cnn)
+#     decodes exactly the occurrence set  -> count(occ)
+#   - gplinker/casrel/grte/tplinker/pfn decode exactly the co-chunk
+#     relation set                        -> count(triples)
+#   - OneRel additionally emits composite spans from cross-occurrence tag
+#     combinations (HB-TB x HE-TE gated by HB-TE, modeling_onerel.py
+#     semantics) -> the 4-way occurrence join below.
+_DECODER_COVERAGE_SQL = (
+    "WITH " + _VOCAB_CTE + r""",
+n_occ AS (SELECT cast(count(*) AS BIGINT) AS n FROM occ),
+n_tri AS (SELECT cast(count(*) AS BIGINT) AS n FROM triples),
+subj_spans AS MATERIALIZED (
+  SELECT DISTINCT s1.doc_id, s1.pos // 510 AS ck, s1.tok AS t1, s2.tok AS t2,
+         substring(d.text, cast(s1.pos + 1 AS INT),
+                   cast(s2.pos + s2.len - s1.pos AS INT)) AS stext
+  FROM occ s1
+  JOIN occ s2 ON s2.doc_id = s1.doc_id AND s2.pos // 510 = s1.pos // 510
+  JOIN documents d ON d.doc_id = s1.doc_id
+  WHERE (s1.pos % 510) + 1 <= (s2.pos % 510) + s2.len
+    AND s1.tok IN (SELECT subj FROM rel)
+    AND s2.tok IN (SELECT subj FROM rel)
+),
+obj_spans AS MATERIALIZED (
+  SELECT DISTINCT o1.doc_id, o1.pos // 510 AS ck, o1.tok AS t1, o2.tok AS t2,
+         substring(d.text, cast(o1.pos + 1 AS INT),
+                   cast(o2.pos + o2.len - o1.pos AS INT)) AS otext
+  FROM occ o1
+  JOIN occ o2 ON o2.doc_id = o1.doc_id AND o2.pos // 510 = o1.pos // 510
+  JOIN documents d ON d.doc_id = o1.doc_id
+  WHERE (o1.pos % 510) + 1 <= (o2.pos % 510) + o2.len
+    AND o1.tok IN (SELECT obj FROM rel)
+    AND o2.tok IN (SELECT obj FROM rel)
+),
+quad AS MATERIALIZED (
+  -- vocab-side token quadruples satisfying the three tag constraints
+  -- (HB-TB from r1, HE-TE from r2, HB-TE gate from r3) — dictionary-sized
+  SELECT DISTINCT r1.pred, r1.subj AS s1, r1.obj AS b1,
+         r2.subj AS s2, r2.obj AS b2
+  FROM rel r1
+  JOIN rel r2 ON r2.pred = r1.pred
+  JOIN rel r3 ON r3.pred = r1.pred AND r3.subj = r1.subj AND r3.obj = r2.obj
+),
+onerel AS MATERIALIZED (
+  SELECT DISTINCT sp.doc_id, q.pred, sp.stext AS subj, op.otext AS obj
+  FROM quad q
+  JOIN subj_spans sp ON sp.t1 = q.s1 AND sp.t2 = q.s2
+  JOIN obj_spans op ON op.doc_id = sp.doc_id AND op.ck = sp.ck
+                   AND op.t1 = q.b1 AND op.t2 = q.b2
+),
+n_onerel AS MATERIALIZED (SELECT cast(count(*) AS BIGINT) AS n FROM onerel)
+SELECT decoder, kind, n FROM (
+  SELECT u.decoder, 'mention' AS kind, n_occ.n
+  FROM (VALUES ('cascade_crf'), ('cnn'), ('crf'), ('gp'), ('span'),
+               ('tplinker'), ('w2ner')) AS u(decoder), n_occ
+  UNION ALL
+  SELECT u.decoder, 'triple' AS kind, n_tri.n
+  FROM (VALUES ('casrel'), ('gplinker'), ('grte'), ('pfn'),
+               ('tplinker')) AS u(decoder), n_tri
+  UNION ALL
+  SELECT 'onerel', 'triple', n_onerel.n FROM n_onerel
+)
+ORDER BY decoder, kind
+"""
+)
+
+
+# extract_events: closed-form M14/M15 outcome on the derived event vocab.
+# Patterns have DISTINCT event types (derive.py), so each type's clique
+# graph is a complete clique over first occurrences plus isolated extra
+# occurrences; after the trigger filter + subset-dedup exactly one event per
+# doc*pattern survives -> one row per present founder/company argument (or a
+# null-role row when neither occurs). Presence = occurrence fully inside the
+# first 510 chars (the reference event driver truncates, never chunks).
+_EVENTS_SQL = (
+    "WITH " + _VOCAB_CTE + r""",
+pat AS (
+  SELECT g.j, printf('evt%02d', g.j) AS event_type,
+         et.tok AS trig, ef.tok AS fnd, ec.tok AS cmp
+  FROM generate_series(0, 7) AS g(j), nent
+  JOIN ent et ON et.i = g.j
+  JOIN ent ef ON ef.i = (g.j + 3) % nent.c
+  JOIN ent ec ON ec.i = (g.j + 5) % nent.c
+  WHERE g.j < least(8, greatest(nent.c - 4, 0))
+),
+etoks AS (
+  SELECT trig AS tok FROM pat
+  UNION SELECT fnd FROM pat
+  UNION SELECT cmp FROM pat
+),
+epres AS (
+  SELECT d.doc_id, t.tok
+  FROM documents d
+  JOIN etoks t ON position(t.tok IN substring(d.text, 1, 510)) > 0
+),
+evbase AS (
+  SELECT tp.doc_id, p.event_type, p.trig, p.fnd, p.cmp,
+         fp.tok IS NOT NULL AS has_f, cp.tok IS NOT NULL AS has_c
+  FROM pat p
+  JOIN epres tp ON tp.tok = p.trig
+  LEFT JOIN epres fp ON fp.doc_id = tp.doc_id AND fp.tok = p.fnd
+  LEFT JOIN epres cp ON cp.doc_id = tp.doc_id AND cp.tok = p.cmp
+),
+evkey AS (
+  SELECT doc_id, event_type, trig, fnd, cmp, has_f, has_c,
+         md5('doc://' || doc_id || chr(29) || event_type || chr(29)
+             || trig || chr(29)
+             || CASE
+                  WHEN has_c AND has_f THEN
+                    'company' || chr(30) || cmp || chr(31)
+                    || 'founder' || chr(30) || fnd
+                  WHEN has_c THEN 'company' || chr(30) || cmp
+                  WHEN has_f THEN 'founder' || chr(30) || fnd
+                  ELSE '' END) AS event_key
+  FROM evbase
+)
+SELECT 'doc://' || doc_id AS url, event_type, trig AS trigger,
+       'founder' AS role, fnd AS argument, event_key
+FROM evkey WHERE has_f
+UNION ALL
+SELECT 'doc://' || doc_id, event_type, trig, 'company', cmp, event_key
+FROM evkey WHERE has_c
+UNION ALL
+SELECT 'doc://' || doc_id, event_type, trig,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), event_key
+FROM evkey WHERE NOT has_f AND NOT has_c
+"""
+)
+
+
 _CLASSIFY_SQL = (
     "WITH " + _VOCAB_CTE + r""",
 lab AS (
@@ -363,5 +578,7 @@ def oracle_sql() -> dict[str, str]:
     o["link_triples"] = _LINKED_SQL
     o["canonical_components"] = _COMPONENTS_SQL
     o["graph_edges"] = _GRAPH_EDGES_SQL
-    # extract_events: clique-search decode — not SQL-expressible; rows-only
+    o["extract_events"] = _EVENTS_SQL
+    o["decoder_coverage"] = _DECODER_COVERAGE_SQL
+    o["uie_extract"] = _UIE_SQL
     return o

@@ -80,13 +80,18 @@ def derived_vocab(spark: SparkSession, docs: DataFrame) -> tuple[Vocab, list[str
             if si == oi:
                 continue
             rels.add((toks[si], PREDICATES[i % len(PREDICATES)], toks[oi]))
-    # a few event instance patterns over the commonest tokens (trigger = the
-    # top token) — rows-only checked, no SQL oracle
+    # event instance patterns over the commonest tokens, one DISTINCT event
+    # type per pattern. Distinct types make the reference clique decode
+    # closed-form (each type's argu graph = complete clique of first
+    # occurrences + isolated extra occurrences; after the trigger filter and
+    # subset-dedup exactly one event per doc*pattern survives, with an
+    # argument row per co-occurring founder/company token), so
+    # extract_events gets an exact DuckDB oracle (__spark_entry__._EVENTS_SQL)
     events = []
     for j in range(min(8, max(n - 4, 0))):
         events.append(
             (
-                "org-founding",
+                f"evt{j:02d}",
                 [("触发词", toks[j]), ("founder", toks[(j + 3) % n]),
                  ("company", toks[(j + 5) % n])],
             )

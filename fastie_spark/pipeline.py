@@ -89,10 +89,12 @@ def chunk_pages(pages: DataFrame, chunk_len: int = CHUNK_LEN) -> DataFrame:
 
 
 def _event_key(url: str, etype: str, trigger: str, args: list) -> str:
-    canon = etype + "\x00" + (trigger or "") + "\x00" + "\x1f".join(
+    # separators are C0 controls >0 so the exact same concatenation is
+    # reproducible in DuckDB (chr(0) is not representable in its VARCHAR)
+    canon = etype + "\x1d" + (trigger or "") + "\x1d" + "\x1f".join(
         f"{r}\x1e{a}" for r, a in sorted(args)
     )
-    return hashlib.md5((url + "\x00" + canon).encode("utf-8")).hexdigest()
+    return hashlib.md5((url + "\x1d" + canon).encode("utf-8")).hexdigest()
 
 
 def make_extract_fn(vocab: Vocab, max_length: int = MAX_LENGTH,

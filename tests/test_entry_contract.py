@@ -36,6 +36,7 @@ def test_entry_smoke(spark):
 KG_KEYS = [
     "extract_mentions", "extract_triples", "link_triples",
     "canonical_components", "graph_edges", "classify_docs", "spo_convert",
+    "extract_events", "decoder_coverage", "uie_extract",
 ]
 
 
@@ -64,3 +65,20 @@ def test_events_query_runs(spark):
 def test_every_oracle_key_has_query():
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert set(o) <= set(q)
+    # round-2 bar: EVERY registered query has an exact oracle
+    assert set(q) == set(o), f"queries without oracle: {set(q) - set(o)}"
+
+
+def test_no_overlapping_occurrences(duck):
+    """The decoder_coverage / uie_extract closed-form oracles rely on the
+    derived vocab's containment filter making occurrences of distinct
+    surfaces non-overlapping on the driver data. Assert it directly so a
+    testdata change that breaks the assumption fails loudly here, not as an
+    opaque driver hash mismatch."""
+    sql = "WITH " + entrymod._VOCAB_CTE + """
+    SELECT count(*) FROM occ a JOIN occ b
+      ON a.doc_id = b.doc_id
+     AND (a.tok <> b.tok OR a.pos <> b.pos)
+     AND a.pos < b.pos + b.len AND b.pos < a.pos + a.len
+    """
+    assert duck.sql(sql).fetchone()[0] == 0
