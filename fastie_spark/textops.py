@@ -399,13 +399,33 @@ FROM documents
 
 def seeded_shuffle(spark, sf_dir):
     """Deterministic shuffle order (dataset.shuffle(seed) analogue): rank by
-    keyed md5 — reproducible across engines/partitionings."""
-    from pyspark.sql import Window
+    keyed md5 — reproducible across engines/partitionings.
 
+    Distributed rank (no global single-partition sort): the first 4 hex
+    chars of the key split rows into <=65536 lexicographically ORDERED
+    buckets, so global rank = (#rows in earlier buckets) + rank within
+    bucket. The row-level window is partitioned by bucket (parallel tasks);
+    the bucket-offset cumulative sum runs over the dictionary-sized count
+    table only and is broadcast back. At 10^12 rows each bucket holds
+    ~n/65536 rows — one comfortably sortable task."""
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|42")))
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.row_number().over(Window.orderBy(key, "doc_id")).cast("long").alias("shuffle_rank"),
+    d = _docs(spark, sf_dir).select("doc_id", key.alias("k")).withColumn(
+        "b", F.substring("k", 1, 4)
+    )
+    counts = d.groupBy("b").agg(F.count("*").alias("c"))
+    cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "b", F.coalesce(F.sum("c").over(cum), F.lit(0)).alias("off")
+    )
+    w = Window.partitionBy("b").orderBy("k", "doc_id")
+    return (
+        d.join(F.broadcast(offs), "b")
+        .select(
+            "doc_id",
+            (F.row_number().over(w) + F.col("off")).cast("long").alias(
+                "shuffle_rank"
+            ),
+        )
     )
 
 
@@ -522,24 +542,50 @@ FROM votes GROUP BY doc_id
 """
 
 
-def emb_near_dup(spark, sf_dir, threshold: float = 0.95):
-    """Embedding-cosine near-duplicate pairs (brute-force self-join; at
-    scale the LSH-bucketed variant in near_dup_pairs is the candidate
-    generator and this becomes the verify stage on candidates only)."""
+def _sign_band(start: int, n_bits: int):
+    """Sign-bit band over embedding dims [start, start+n_bits) — the
+    axis-aligned analogue of a random-hyperplane LSH band."""
+    return F.concat_ws(
+        "", *[
+            (F.element_at("v", start + i + 1) > 0).cast("int").cast("string")
+            for i in range(n_bits)
+        ]
+    )
+
+
+def emb_near_dup(spark, sf_dir, threshold: float = 0.95, n_bits: int = 6):
+    """Embedding-cosine near-duplicate pairs, candidates->verify (the
+    100 TB shape): candidate pairs share a sign-bit band over dims 1-6 OR
+    dims 7-12 (two redundant bands — near-identical vectors agree on almost
+    every coordinate sign, so OR-ing bands keeps recall high); exact cosine
+    runs on band-colliding pairs only. Bucketed self-joins, no crossJoin;
+    skewed buckets are AQE-handled like near_dup_pairs."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    eb = e.withColumn("b1", _sign_band(0, n_bits)).withColumn(
+        "b2", _sign_band(n_bits, n_bits)
+    )
+
+    def band_pairs(col):
+        a = eb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                      F.col(col).alias("band"))
+        b = eb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                      F.col(col).alias("band"))
+        return a.join(b, ["band"]).filter(
+            F.col("vec_a") < F.col("vec_b")
+        ).select("vec_a", "vec_b", "va", "vb")
+
+    cand = band_pairs("b1").unionByName(band_pairs("b2")).dropDuplicates(
+        ["vec_a", "vec_b"]
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", (dot / (na * nb)).alias("cos"))
+        cand.select("vec_a", "vec_b", (dot / (na * nb)).alias("cos"))
         .filter(F.col("cos") > threshold)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
     )
@@ -549,15 +595,32 @@ EMB_NEAR_DUP_SQL = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
   FROM embeddings
+),
+eb AS (
+  SELECT vec_id, v,
+         cast(v[1] > 0 AS INT) || cast(v[2] > 0 AS INT)
+         || cast(v[3] > 0 AS INT) || cast(v[4] > 0 AS INT)
+         || cast(v[5] > 0 AS INT) || cast(v[6] > 0 AS INT) AS b1,
+         cast(v[7] > 0 AS INT) || cast(v[8] > 0 AS INT)
+         || cast(v[9] > 0 AS INT) || cast(v[10] > 0 AS INT)
+         || cast(v[11] > 0 AS INT) || cast(v[12] > 0 AS INT) AS b2
+  FROM e
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+  FROM eb a JOIN eb b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id, a.v, b.v
+  FROM eb a JOIN eb b ON a.b2 = b.b2 AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
-             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
-      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) > 0.95
+SELECT vec_a, vec_b,
+       round(list_sum(list_transform(list_zip(va, vb), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(va, x -> x * x)))
+                * sqrt(list_sum(list_transform(vb, x -> x * x)))), 6) AS cos
+FROM cand
+WHERE list_sum(list_transform(list_zip(va, vb), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(va, x -> x * x)))
+         * sqrt(list_sum(list_transform(vb, x -> x * x)))) > 0.95
 """
 
 
@@ -568,9 +631,18 @@ def ngram_jaccard_pairs(spark, sf_dir, min_jaccard: float = 0.3):
     candidates->verify shape is the 100 TB pattern: the exact-intersection
     join runs only on band-colliding pairs, never all-pairs."""
     cand = near_dup_pairs(spark, sf_dir)
+    # semi-join-filter the shingle table to candidate docs BEFORE the verify
+    # join: at 100 TB the candidate set is a tiny fraction of the corpus, so
+    # the exact-intersection join never shuffles the full shingle table
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     sh = (
         _docs(spark, sf_dir)
         .select("doc_id", F.lower(F.col("text")).alias("norm"))
+        .join(cand_docs, "doc_id", "left_semi")
         .select(
             "doc_id",
             F.explode(

@@ -59,3 +59,19 @@ def test_query_matches_oracle(spark, duck, name):
     if a != b:
         diff = [(x, y) for x, y in zip(a, b) if x != y][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_emb_near_dup_nonempty_at_low_threshold(spark, duck):
+    """At threshold 0.95 the sf tables yield 0 pairs, which would hide a
+    broken verify stage — re-run the banded candidates->verify at a low
+    threshold and compare against the same SQL with the threshold swapped."""
+    from fastie_spark.textops import EMB_NEAR_DUP_SQL, emb_near_dup
+
+    sdf = emb_near_dup(spark, SF_DIR, threshold=0.2)
+    srows = [r.asDict() for r in sdf.collect()]
+    sql = EMB_NEAR_DUP_SQL.replace("0.95", "0.2")
+    ddf = duck.sql(sql)
+    drows = [dict(zip(ddf.columns, r)) for r in ddf.fetchall()]
+    assert len(srows) == len(drows) and len(srows) > 0
+    cols = sorted(sdf.columns)
+    assert _norm(srows, cols) == _norm(drows, cols)

@@ -106,3 +106,36 @@ def test_corpus_filter_single_scan_for_predicates(spark):
     plan = plan_tree(REGISTRY["corpus_filter"][0](spark, SF_DIR))
     assert plan.count("FileScan parquet") == 2
     assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_seeded_shuffle_no_global_sort(spark):
+    """The deterministic-shuffle rank must NOT move the table through one
+    task: no single-partition Exchange feeding the row-level Window (the
+    only SinglePartition allowed is the dictionary-sized bucket-offset
+    cumsum), and the row window must be hash-partitioned by bucket."""
+    df = REGISTRY["seeded_shuffle"][0](spark, SF_DIR)
+    tree = plan_tree(df)
+    # the base-table window runs over hashpartitioning(b, ...)
+    assert "hashpartitioning(b#" in tree
+    # at most one SinglePartition exchange, and it must sit under an
+    # aggregate (the 65536-row offsets table), never under the parquet scan
+    single = tree.count("Exchange SinglePartition")
+    assert single <= 1
+    if single:
+        seg = tree[tree.find("Exchange SinglePartition"):]
+        assert "HashAggregate" in seg  # offsets side, post-aggregation
+
+
+def test_emb_near_dup_no_cross_join(spark):
+    """emb_near_dup is candidates->verify: band-bucketed self-joins only,
+    never an all-pairs cartesian."""
+    plan = plan_tree(REGISTRY["emb_near_dup"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_semi_filters_shingles(spark):
+    """The exact-Jaccard verify stage must semi-join-filter the shingle
+    table to candidate docs before the intersection join."""
+    plan = plan_tree(REGISTRY["ngram_jaccard_pairs"][0](spark, SF_DIR))
+    assert "LeftSemi" in plan
