@@ -16,7 +16,7 @@ M16 get_span et al.  .../uie/decode_utils.py:38-115
 
 from __future__ import annotations
 
-from itertools import groupby, product
+from itertools import groupby
 
 import numpy as np
 
@@ -65,17 +65,31 @@ def gplinker_decode_cells(ent_cells, head_cells, tail_cells, l, text, mapping, i
     for p, st, ot in tail_cells:
         tail_map.setdefault((st, ot), set()).add(int(p))
 
+    # iterate only (sh, oh) pairs PRESENT in the head grid instead of the
+    # full subjects x objects product (output-identical: a pair absent from
+    # head_map can never intersect to a predicate) — with the sparse scorer
+    # the head grid is much smaller than the occurrence product
+    subj_by_head: dict = {}
+    for sh, st in subjects:
+        subj_by_head.setdefault(sh, []).append(st)
+    obj_by_head: dict = {}
+    for oh, ot in objects:
+        obj_by_head.setdefault(oh, []).append(ot)
+
     spoes = set()
-    for (sh, st), (oh, ot) in product(subjects, objects):
-        ps = head_map.get((sh, oh), set()) & tail_map.get((st, ot), set())
-        for p in ps:
-            spoes.add(
-                (
-                    id2pred[p],
-                    text[mapping[sh][0] : mapping[st][1]],
-                    text[mapping[oh][0] : mapping[ot][1]],
-                )
-            )
+    empty: set = set()
+    for (sh, oh), ps_head in head_map.items():
+        for st in subj_by_head.get(sh, ()):
+            for ot in obj_by_head.get(oh, ()):
+                ps = ps_head & tail_map.get((st, ot), empty)
+                for p in ps:
+                    spoes.add(
+                        (
+                            id2pred[p],
+                            text[mapping[sh][0] : mapping[st][1]],
+                            text[mapping[oh][0] : mapping[ot][1]],
+                        )
+                    )
     return spoes
 
 
@@ -123,9 +137,9 @@ class _OrderedSetList(list):
             super().append(x)
 
 
-def clique_search(argus, links):
-    """Maximal-complete-subgraph search (decode_utils.py:44-62): find a
-    non-adjacent pair, recurse on each one's neighbor set."""
+def clique_search_reference(argus, links):
+    """Verbatim reference recursion (decode_utils.py:44-62), kept as the
+    differential-test twin of the production clique_search below."""
     Argus = _OrderedSetList()
     for i1, (_, _, h1, t1) in enumerate(argus):
         for i2, (_, _, h2, t2) in enumerate(argus):
@@ -135,10 +149,95 @@ def clique_search(argus, links):
     if Argus:
         results = _OrderedSetList()
         for A in Argus:
-            for a in clique_search(A, links):
+            for a in clique_search_reference(A, links):
                 results.append(a)
         return list(results)
     return [sorted(argus)]
+
+
+def clique_search(argus, links):
+    """Rewrite of the reference maximal-complete-subgraph recursion
+    (decode_utils.py:44-62). Nodes become indices over the (set-derived,
+    hence distinct) argu list, subsets become int bitmasks, and the
+    recursion becomes an explicit post-order stack with memoization — the
+    neighbor set and the non-adjacent-pair scan are word ops instead of
+    O(n) list scans, and pathological link graphs can't blow the Python
+    recursion limit.
+
+    Output contract: identical to clique_search_reference up to WITHIN-
+    clique node multiplicity — the reference appends a node twice when a
+    self-position link (h,t,h,t) exists (two roles sharing one first
+    occurrence); content sets and their order are identical, and the
+    decoded events after event_set2json are bit-identical (arguments are
+    DedupList'd). Both properties are pinned by the differential fuzz in
+    tests/test_decoder_fuzz.py."""
+    n = len(argus)
+    if n <= 1:
+        return [sorted(argus)]
+    adj = [0] * n
+    for i in range(n):
+        hi, ti = argus[i][2], argus[i][3]
+        for j in range(i + 1, n):
+            if (hi, ti, argus[j][2], argus[j][3]) in links:
+                adj[i] |= 1 << j
+                adj[j] |= 1 << i
+    full = (1 << n) - 1
+
+    expans: dict = {}  # sub -> ordered child masks (empty = sub is a clique)
+
+    def expansions(sub):
+        got = expans.get(sub)
+        if got is not None:
+            return got
+        members = []
+        m = sub
+        while m:
+            b = m & -m
+            members.append(b.bit_length() - 1)
+            m ^= b
+        out, seen = [], set()
+        for x, i in enumerate(members):
+            # reference pair order: for each non-adjacent (i, j), append
+            # neighbors(i) then neighbors(j), dedup by content
+            for j in members[x + 1 :]:
+                if not (adj[i] >> j) & 1:
+                    for h in (i, j):
+                        nb = (adj[h] & sub) | (1 << h)
+                        if nb not in seen:
+                            seen.add(nb)
+                            out.append(nb)
+        expans[sub] = out
+        return out
+
+    memo: dict = {}
+    stack = [full]
+    while stack:
+        sub = stack[-1]
+        if sub in memo:
+            stack.pop()
+            continue
+        children = expansions(sub)
+        if not children:
+            memo[sub] = [sub]
+            stack.pop()
+            continue
+        pending = [c for c in children if c not in memo]
+        if pending:
+            stack.extend(pending)
+            continue
+        out, seen = [], set()
+        for c in children:
+            for r in memo[c]:
+                if r not in seen:
+                    seen.add(r)
+                    out.append(r)
+        memo[sub] = out
+        stack.pop()
+
+    return [
+        sorted(argus[i] for i in range(n) if mask >> i & 1)
+        for mask in memo[full]
+    ]
 
 
 def event_decode_cells(
@@ -164,7 +263,19 @@ def event_decode_cells(
         argus.add((etype, role, int(h), int(t)))
 
     links = set()
-    argu_list = list(argus)
+    # only positions that appear in some head/tail link pair can ever link
+    # (the scorer links first occurrences only), so the O(n^2) pair scan
+    # runs over that small subset instead of every occurrence — the link
+    # set is identical
+    head_pos: set = set()
+    for lo, hi in head_links:
+        head_pos.add(lo)
+        head_pos.add(hi)
+    tail_pos: set = set()
+    for lo, hi in tail_links:
+        tail_pos.add(lo)
+        tail_pos.add(hi)
+    argu_list = [a for a in argus if a[2] in head_pos and a[3] in tail_pos]
     for i1, (_, _, h1, t1) in enumerate(argu_list):
         for i2, (_, _, h2, t2) in enumerate(argu_list):
             if i2 > i1:
