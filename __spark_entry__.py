@@ -207,6 +207,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["spo_convert"] = spo_convert
+
+    def event_prf(s, d):
+        """A2 event/argument-level micro P/R/F1 over driver data: pred and
+        gold extraction-event row sets are derived deterministically from
+        the events table (user = doc; one event per (user, event_type) with
+        role v{event_id%3} / argument floor(value); pred = 80% subset by
+        event_id%10, gold = 71% subset by event_id%7), then scored with the
+        reference A2 semantics (metrics.event_prf_df)."""
+        from fastie_spark.metrics import event_prf_df
+
+        ev = s.read.parquet(f"{d}/events.parquet")
+        url = F.concat(F.lit("user://"), F.col("user_id").cast("string"))
+        base = ev.select(
+            url.alias("url"),
+            "event_type",
+            F.col("event_type").alias("trigger"),
+            F.concat(F.lit("v"), (F.col("event_id") % 3).cast("string")).alias(
+                "role"
+            ),
+            F.floor("value").cast("long").cast("string").alias("argument"),
+            F.md5(F.concat(url, F.lit("|"), F.col("event_type"))).alias(
+                "event_key"
+            ),
+            "event_id",
+        )
+        pred = base.filter(F.col("event_id") % 10 < 8).drop("event_id")
+        gold = base.filter(F.col("event_id") % 7 < 5).drop("event_id")
+        return event_prf_df(pred, gold)
+
+    q["event_prf"] = event_prf
     q["extract_mentions"] = lambda s, d: _kg(s, d)["mentions"]
     q["extract_triples"] = lambda s, d: _kg(s, d)["triples"]
     q["extract_events"] = lambda s, d: _kg(s, d)["events"]
@@ -317,6 +347,82 @@ SELECT printf('Q%05d', 3 * (si // 3)) AS subj_id, pred,
 FROM triples GROUP BY 1, 2, 3
 """
 )
+
+
+# event_prf: A2 event/argument-level micro P/R/F1 over pred/gold event row
+# sets derived from the events table. The event-level compare joins on the
+# sorted distinct tuple set per (doc, event) — represented as a C0-separated
+# sorted string, which orders identically to Spark's sorted struct arrays on
+# this controlled vocabulary (constant event_type prefix, fixed-length
+# roles, integer arguments).
+_EVENT_PRF_SQL = r"""
+WITH base AS (
+  SELECT 'user://' || user_id AS url, event_type,
+         'v' || (event_id % 3) AS role,
+         cast(cast(floor(value) AS BIGINT) AS VARCHAR) AS argument,
+         event_id
+  FROM events
+),
+pred AS (SELECT * FROM base WHERE event_id % 10 < 8),
+gold AS (SELECT * FROM base WHERE event_id % 7 < 5),
+pe AS (
+  SELECT url, array_to_string(list_sort(list_distinct(
+           list(event_type || chr(31) || role || chr(31) || argument))),
+         chr(30)) AS evt
+  FROM (SELECT url, event_type, role, argument FROM pred
+        UNION
+        SELECT DISTINCT url, event_type, '触发词', event_type FROM pred)
+  GROUP BY url, event_type
+),
+ge AS (
+  SELECT url, array_to_string(list_sort(list_distinct(
+           list(event_type || chr(31) || role || chr(31) || argument))),
+         chr(30)) AS evt
+  FROM (SELECT url, event_type, role, argument FROM gold
+        UNION
+        SELECT DISTINCT url, event_type, '触发词', event_type FROM gold)
+  GROUP BY url, event_type
+),
+pe_d AS (SELECT DISTINCT url, evt FROM pe),
+ge_d AS (SELECT DISTINCT url, evt FROM ge),
+c AS (
+  SELECT
+    (SELECT cast(count(*) AS BIGINT) FROM pe_d JOIN ge_d USING (url, evt))
+      AS e_tp,
+    (SELECT cast(count(*) AS BIGINT) FROM pe_d) AS e_pred,
+    (SELECT cast(count(*) AS BIGINT) FROM ge_d) AS e_gold,
+    (SELECT cast(count(*) AS BIGINT) FROM
+       (SELECT DISTINCT url, event_type, role, argument FROM pred) p
+       JOIN (SELECT DISTINCT url, event_type, role, argument FROM gold) g
+       USING (url, event_type, role, argument)) AS a_tp,
+    (SELECT cast(count(*) AS BIGINT) FROM
+       (SELECT DISTINCT url, event_type, role, argument FROM pred)) AS a_pred,
+    (SELECT cast(count(*) AS BIGINT) FROM
+       (SELECT DISTINCT url, event_type, role, argument FROM gold)) AS a_gold
+)
+SELECT e_tp, e_pred, e_gold, a_tp, a_pred, a_gold,
+  round(CASE WHEN e_pred > 0 THEN e_tp / cast(e_pred AS DOUBLE) ELSE 0 END, 6)
+    AS event_precision,
+  round(CASE WHEN e_gold > 0 THEN e_tp / cast(e_gold AS DOUBLE) ELSE 0 END, 6)
+    AS event_recall,
+  round(CASE WHEN e_tp / cast(e_pred AS DOUBLE)
+             + e_tp / cast(e_gold AS DOUBLE) > 0
+        THEN 2 * (e_tp / cast(e_pred AS DOUBLE))
+               * (e_tp / cast(e_gold AS DOUBLE))
+             / (e_tp / cast(e_pred AS DOUBLE) + e_tp / cast(e_gold AS DOUBLE))
+        ELSE 0 END, 6) AS event_f1,
+  round(CASE WHEN a_pred > 0 THEN a_tp / cast(a_pred AS DOUBLE) ELSE 0 END, 6)
+    AS argu_precision,
+  round(CASE WHEN a_gold > 0 THEN a_tp / cast(a_gold AS DOUBLE) ELSE 0 END, 6)
+    AS argu_recall,
+  round(CASE WHEN a_tp / cast(a_pred AS DOUBLE)
+             + a_tp / cast(a_gold AS DOUBLE) > 0
+        THEN 2 * (a_tp / cast(a_pred AS DOUBLE))
+               * (a_tp / cast(a_gold AS DOUBLE))
+             / (a_tp / cast(a_pred AS DOUBLE) + a_tp / cast(a_gold AS DOUBLE))
+        ELSE 0 END, 6) AS argu_f1
+FROM c
+"""
 
 
 # uie_extract: closed-form M16-M18 outcome over the derived vocab. The UIE
@@ -581,4 +687,5 @@ def oracle_sql() -> dict[str, str]:
     o["extract_events"] = _EVENTS_SQL
     o["decoder_coverage"] = _DECODER_COVERAGE_SQL
     o["uie_extract"] = _UIE_SQL
+    o["event_prf"] = _EVENT_PRF_SQL
     return o

@@ -94,3 +94,45 @@ def event_prf(pred: DataFrame, gold: DataFrame) -> dict:
         "event_precision": ep, "event_recall": er, "event_f1": ef,
         "argu_precision": ap, "argu_recall": ar, "argu_f1": af,
     }
+
+
+def event_prf_df(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """event_prf as ONE declarative DataFrame (no driver-side counts): the
+    six counts are 1-row aggregates cross-joined (each a map-side-combinable
+    count at scale), P/R/F1 computed in-plan. Same semantics as event_prf
+    (A2, precision_recall_fscore.py:38-74)."""
+    pe = _event_arrays(pred, require_trigger=True)
+    ge = _event_arrays(gold, require_trigger=False)
+    e_tp = pe.join(ge, ["url", "event"], "inner").agg(
+        F.count("*").cast("long").alias("e_tp"))
+    e_np = pe.agg(F.count("*").cast("long").alias("e_pred"))
+    e_ng = ge.agg(F.count("*").cast("long").alias("e_gold"))
+
+    keys = ["url", "event_type", "role", "argument"]
+    pa = pred.filter(F.col("role").isNotNull()).select(*keys).dropDuplicates(keys)
+    ga = gold.filter(F.col("role").isNotNull()).select(*keys).dropDuplicates(keys)
+    a_tp = pa.join(ga, keys, "inner").agg(
+        F.count("*").cast("long").alias("a_tp"))
+    a_np = pa.agg(F.count("*").cast("long").alias("a_pred"))
+    a_ng = ga.agg(F.count("*").cast("long").alias("a_gold"))
+
+    row = (
+        e_tp.crossJoin(e_np).crossJoin(e_ng)
+        .crossJoin(a_tp).crossJoin(a_np).crossJoin(a_ng)
+    )
+
+    def prf(tp, np_, ng, prefix):
+        p = F.when(F.col(np_) > 0, F.col(tp) / F.col(np_)).otherwise(0.0)
+        r = F.when(F.col(ng) > 0, F.col(tp) / F.col(ng)).otherwise(0.0)
+        f = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0)
+        return [
+            F.round(p, 6).alias(f"{prefix}_precision"),
+            F.round(r, 6).alias(f"{prefix}_recall"),
+            F.round(f, 6).alias(f"{prefix}_f1"),
+        ]
+
+    return row.select(
+        "e_tp", "e_pred", "e_gold", "a_tp", "a_pred", "a_gold",
+        *prf("e_tp", "e_pred", "e_gold", "event"),
+        *prf("a_tp", "a_pred", "a_gold", "argu"),
+    )

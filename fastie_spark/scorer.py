@@ -452,3 +452,34 @@ class DictScorer:
                     grid.setdefault((i, i + 1), 1)
                 grid.setdefault((e - 1, s), lid)
         return grid
+
+
+def ner_cells_mapped(scorer: DictScorer, masked_text: str, mapping) -> set:
+    """M1 grid cells under an ARBITRARY HF-style offset_mapping — the
+    tokenizer seam (SURVEY.md §2.3 T1/T2). An occurrence fires the cell
+    (label_id, s_tok, e_tok) iff its char span aligns to token boundaries;
+    an occurrence split inside a subword token cannot be represented in a
+    token-square grid, which is exactly a real span model's constraint.
+    With the char tokenizer's mapping this reduces bit-for-bit to
+    DictScorer.ner_cells (parity pytest-gated)."""
+    start_lut: dict = {}
+    end_lut: dict = {}
+    for i, (cs, ce) in enumerate(mapping):
+        if cs == 0 and ce == 0:
+            continue
+        start_lut.setdefault(cs, i)
+        end_lut[ce] = i
+    occ = scorer._occ_map(masked_text)
+    cells = set()
+    for surf, lids in scorer._ent_lids.items():
+        starts = occ.get(surf)
+        if not starts:
+            continue
+        for st in starts:
+            s_tok = start_lut.get(st)
+            e_tok = end_lut.get(st + len(surf))
+            if s_tok is None or e_tok is None:
+                continue
+            for lid in lids:
+                cells.add((lid, s_tok, e_tok))
+    return cells

@@ -67,3 +67,28 @@ def char_span_to_token_span(start: int, end: int) -> tuple[int, int]:
     the inclusive end token of char span end-exclusive ``end`` is ``end``.
     """
     return start + 1, end
+
+
+def subword_encode_meta(text: str, max_length: int = 512) -> dict:
+    """Deterministic MULTI-char-token tokenizer with the same offset
+    contract as encode_meta — the drop-in seam double for a real wordpiece
+    tokenizer (tokenization.py:100-129 in the reference's global_pointer
+    model). ASCII alphanumeric runs become ONE token; every other char is
+    its own token. Proves (tests/test_matcher_scorer.py) that decode
+    offsets survive a tokenizer whose tokens cover more than one char,
+    guarding the future real-checkpoint swap."""
+    spans = []
+    i, n = 0, len(text)
+    while i < n and len(spans) < max_length - 2:
+        c = text[i]
+        if c.isascii() and c.isalnum():
+            j = i + 1
+            while j < n and text[j].isascii() and text[j].isalnum():
+                j += 1
+            spans.append((i, j))
+            i = j
+        else:
+            spans.append((i, i + 1))
+            i += 1
+    offsets = tuple([(0, 0)] + spans + [(0, 0)])
+    return {"offset_mapping": offsets, "seq_len": len(spans) + 2}

@@ -36,7 +36,7 @@ def test_entry_smoke(spark):
 KG_KEYS = [
     "extract_mentions", "extract_triples", "link_triples",
     "canonical_components", "graph_edges", "classify_docs", "spo_convert",
-    "extract_events", "decoder_coverage", "uie_extract",
+    "extract_events", "decoder_coverage", "uie_extract", "event_prf",
 ]
 
 

@@ -80,3 +80,66 @@ def test_re_cells_matches_bruteforce_reference():
                     bhead.add((p, sh, oh))
                     btail.add((p, st, ot))
         assert (ent, head, tail) == (bent, bhead, btail), text
+
+
+class TestTokenizerSeam:
+    """Decode offsets must survive a tokenizer whose tokens cover more than
+    one char (VERDICT round-1 gap #3: the real-checkpoint swap guard)."""
+
+    def _vocab(self):
+        from fastie_spark.scorer import Vocab
+
+        return Vocab(entity_vocab=[
+            ("Alice", "per"), ("Bob99", "per"), ("中本聪", "per"),
+        ])
+
+    def _decode(self, text, encode_fn):
+        from fastie_spark.decoders import gp_decode_cells
+        from fastie_spark.scorer import DictScorer, ner_cells_mapped
+
+        vocab = self._vocab()
+        scorer = DictScorer(vocab)
+        enc = encode_fn(text)
+        cells = ner_cells_mapped(scorer, text, enc["offset_mapping"])
+        id2label = dict(enumerate(vocab.ner_labels()))
+        return gp_decode_cells(cells, enc["seq_len"], text,
+                               enc["offset_mapping"], id2label)
+
+    def test_parity_char_vs_subword(self):
+        """Same char-offset mentions from the char tokenizer and the
+        multi-char-token subword tokenizer when surfaces align to token
+        boundaries (here: full ASCII runs and CJK chars)."""
+        from fastie_spark.tokenizer import encode_meta, subword_encode_meta
+
+        text = "见过Alice吗 Bob99和中本聪 Alice again"
+        got_char = self._decode(text, encode_meta)
+        got_sub = self._decode(text, subword_encode_meta)
+        assert got_char == got_sub
+        assert ("per", 2, 7, "Alice") in got_sub
+        assert any(m[3] == "中本聪" for m in got_sub)
+
+    def test_mapped_reduces_to_ner_cells_on_char_mapping(self):
+        """With the char tokenizer's mapping, ner_cells_mapped is
+        bit-identical to the fast-path DictScorer.ner_cells."""
+        from fastie_spark.scorer import DictScorer, ner_cells_mapped
+        from fastie_spark.tokenizer import encode_meta
+
+        vocab = self._vocab()
+        scorer = DictScorer(vocab)
+        text = "Alice与中本聪见面，Bob99 Alice。" * 30  # crosses truncation
+        enc = encode_meta(text)
+        assert ner_cells_mapped(scorer, text, enc["offset_mapping"]) == \
+            scorer.ner_cells(text)
+
+    def test_misaligned_occurrence_is_unrepresentable(self):
+        """A surface embedded INSIDE an ASCII run does not align to subword
+        token boundaries — the grid cannot represent it (a real span
+        model's constraint), while the char tokenizer still fires it."""
+        from fastie_spark.tokenizer import encode_meta, subword_encode_meta
+
+        text = "xxAlicezz 中本聪"
+        got_char = self._decode(text, encode_meta)
+        got_sub = self._decode(text, subword_encode_meta)
+        assert any(m[3] == "Alice" for m in got_char)
+        assert not any(m[3] == "Alice" for m in got_sub)
+        assert any(m[3] == "中本聪" for m in got_sub)  # aligned ones survive
