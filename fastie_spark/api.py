@@ -1,0 +1,178 @@
+"""Thin serving façade — the engine analogue of the reference's
+``POST /v1/ie`` endpoint (/root/reference/fastie/api/app.py:65-81,
+request/response shapes from fastie/api/protocol.py:25-78).
+
+``run_ie(spark, texts, task, ...)`` accepts the IECreateParams fields
+(texts, ie_schema, batch_size, max_length) and returns the response dict
+{id, object, created, model, labels} with per-task ``labels`` matching the
+reference's ``model.predict`` output shape. Inference runs through the same
+Spark stages as the batch job (fused extraction / UIE BFS), so the façade
+is a capability match, not a parallel implementation; for ad-hoc few-text
+calls the Arrow batch is the batching unit (the reference's LitServe
+batch_size is accepted and recorded but superseded by Arrow batching,
+fastie/api/server.py:22-75).
+"""
+
+from __future__ import annotations
+
+import secrets
+import time
+
+from pyspark.sql import SparkSession
+
+from .scorer import Vocab
+
+TASKS = (
+    "named-entity-recognition", "relation-extraction", "event-extraction",
+    "uie", "text-classification",
+)
+
+
+def _pages_df(spark: SparkSession, texts: list):
+    from .session import local_df
+
+    return local_df(
+        spark,
+        [{"url": f"req://{i}", "text": t} for i, t in enumerate(texts)],
+        "url string, text string",
+    )
+
+
+def _collect_by_url(df, n: int) -> list:
+    rows: list = [[] for _ in range(n)]
+    for r in df.collect():
+        rows[int(r["url"].rsplit("://", 1)[1])].append(r)
+    return rows
+
+
+def _nest_uie(rows_by_url: list, schema) -> list:
+    """Re-nest run_uie_spark's flat rows into the reference's per-text
+    result dicts ({name: [{text,start,end,probability,relations:{...}}]}).
+    Children of identical parent spans are identical lists (same composed
+    prompt), so grouping by (path, parent span) is lossless."""
+    from .uie import build_tree
+
+    if isinstance(schema, (dict, str)):
+        schema = [schema]
+    tree = build_tree(schema)
+
+    def items_for(rows, path, parent_span):
+        out = []
+        seen = set()
+        for r in rows:
+            if r["path"] != path or r["parent"] != parent_span:
+                continue
+            key = (r["span"], r["start"], r["end"], r["probability"])
+            if key in seen:  # occurrence-duplicated parent rows collapse
+                continue
+            seen.add(key)
+            item = {"text": r["span"], "probability": r["probability"]}
+            if r["start"] is not None:
+                item["start"] = int(r["start"])
+                item["end"] = int(r["end"])
+            out.append(item)
+        return out
+
+    def attach(rows, node, path, items):
+        for child in node.children:
+            cpath = f"{path}/{child.name}"
+            for item in items:
+                sub = items_for(rows, cpath, item["text"])
+                if sub:
+                    item.setdefault("relations", {})[child.name] = sub
+                    attach(rows, child, cpath, sub)
+
+    results = []
+    for rows in rows_by_url:
+        res: dict = {}
+        for top in tree.children:
+            items = items_for(rows, top.name, None)
+            if items:
+                res[top.name] = items
+                attach(rows, top, top.name, items)
+        results.append(res)
+    return results
+
+
+def run_ie(
+    spark: SparkSession,
+    texts,
+    task: str = "uie",
+    vocab: Vocab | None = None,
+    ie_schema=None,
+    batch_size: int = 16,
+    max_length: int = 512,
+    is_english: bool = False,
+) -> dict:
+    """The /v1/ie capability as a library call. texts: str | list[str]."""
+    if isinstance(texts, str):
+        texts = [texts]
+    if task not in TASKS:
+        raise ValueError(f"unknown task {task!r}; expected one of {TASKS}")
+    if vocab is None:
+        raise ValueError("vocab is required (the engine's model weights)")
+    n = len(texts)
+    pages = _pages_df(spark, texts)
+
+    if task == "uie":
+        from .uie import run_uie_spark
+
+        if ie_schema is None:
+            raise ValueError("uie requires ie_schema")
+        out = run_uie_spark(spark, pages, vocab, ie_schema,
+                            max_length=max_length, is_english=is_english)
+        labels = _nest_uie(_collect_by_url(out, n), ie_schema)
+    else:
+        from .pipeline import run_extraction_fused
+
+        ext = run_extraction_fused(
+            spark, pages, vocab, from_html=False, persist=False,
+            repartition=False, do_events=task == "event-extraction",
+        )
+        if task == "named-entity-recognition":
+            labels = [
+                sorted(
+                    (r["label"], int(r["start"]), int(r["end"]), r["surface"])
+                    for r in rows
+                )
+                for rows in _collect_by_url(ext["mentions"], n)
+            ]
+        elif task == "relation-extraction":
+            labels = [
+                sorted((r["subj"], r["pred"], r["obj"]) for r in rows)
+                for rows in _collect_by_url(ext["triples"], n)
+            ]
+        elif task == "event-extraction":
+            labels = []
+            for rows in _collect_by_url(ext["events"], n):
+                by_key: dict = {}
+                for r in rows:
+                    ev = by_key.setdefault(
+                        r["event_key"],
+                        {"event_type": r["event_type"],
+                         "trigger": r["trigger"], "arguments": []},
+                    )
+                    if r["role"] is not None:
+                        ev["arguments"].append(
+                            {"role": r["role"], "argument": r["argument"]}
+                        )
+                labels.append(list(by_key.values()))
+        else:  # text-classification: per-text argmax over mention labels
+            labels = []
+            for rows in _collect_by_url(ext["mentions"], n):
+                counts: dict = {}
+                for r in rows:
+                    counts[r["label"]] = counts.get(r["label"], 0) + 1
+                labels.append(
+                    min(sorted(counts), key=lambda k: -counts[k])
+                    if counts else None
+                )
+
+    return {
+        "id": f"ie-{secrets.token_hex(12)}",
+        "object": task,
+        "created": int(time.time()),
+        "model": "fastie-spark-dict-scorer",
+        "batch_size": batch_size,
+        "labels": labels,
+    }

@@ -64,14 +64,17 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    broadcast_threshold: int = 2_000_000,
+    broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id.
 
     Adaptive strategy: if the (deduped) edge set is below
     ``broadcast_threshold`` rows it is collected and solved with driver-side
     union-find (one job); otherwise the distributed min-label-propagation +
-    pointer-jumping loop below runs (the 100 TB path)."""
+    pointer-jumping loop below runs (the 100 TB path). The default (200k
+    pairs, low tens of MB of strings) is sized like a broadcast-join
+    threshold: comfortably driver-resident, far below anything that could
+    contend with result collection."""
     if broadcast_threshold:
         small = edges.select(
             F.col(src).alias("u"), F.col(dst).alias("v")
