@@ -23,6 +23,7 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     master, shuf, pages_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    repartition = len(sys.argv) < 5 or sys.argv[4] != "norepart"
 
     from fastie_spark.fixtures import (
         build_alias_edges,
@@ -55,12 +56,13 @@ def main() -> None:
         out = tempfile.mkdtemp(prefix="kgc_")
         t0 = time.time()
         res = run_kg_job(spark, pages, vocab, linker, edges, out_dir=out,
-                         snapshot_id="c", n_buckets=32)
+                         snapshot_id="c", n_buckets=32,
+                         repartition=repartition)
         walls.append(time.time() - t0)
         n = res["n_triples"]
         shutil.rmtree(out, ignore_errors=True)
-    print(f"RESULT master={master} n_triples={n} cold={walls[0]:.1f}s "
-          f"warm={min(walls):.1f}s tps={n / min(walls):.0f}")
+    print(f"RESULT master={master} repartition={repartition} n_triples={n} "
+          f"cold={walls[0]:.1f}s warm={min(walls):.1f}s tps={n / min(walls):.0f}")
     spark.stop()
 
 
