@@ -96,7 +96,8 @@ def kg_run(master: str, pages_path: str, shuffle_partitions: int) -> dict:
     # At <=4 threads the ~100 s python compute dwarfs warmup (observed
     # cold == min at local[2]) — two runs suffice and keep the bench wall
     # inside the driver's budget.
-    threads = int(master.split("[")[1].rstrip("]*")) if "[" in master else 8
+    inner = master.split("[")[1].rstrip("]") if "[" in master else ""
+    threads = int(inner) if inner.isdigit() else (os.cpu_count() or 8)
     for _ in range(2 if threads <= 4 else 3):
         out_dir = tempfile.mkdtemp(prefix="kg_bench_")
         t0 = time.time()

@@ -128,6 +128,7 @@ def run_ie(
         ext = run_extraction_fused(
             spark, pages, vocab, from_html=False, persist=False,
             repartition=False, do_events=task == "event-extraction",
+            max_length=max_length,
         )
         if task == "named-entity-recognition":
             labels = [
@@ -156,16 +157,24 @@ def run_ie(
                         ev["arguments"].append(
                             {"role": r["role"], "argument": r["argument"]}
                         )
-                labels.append(list(by_key.values()))
+                # deterministic output regardless of partition/collect order
+                for ev in by_key.values():
+                    ev["arguments"].sort(
+                        key=lambda a: (a["role"], a["argument"])
+                    )
+                labels.append(
+                    [by_key[k] for k in sorted(by_key)]
+                )
         else:  # text-classification: per-text argmax over mention labels
             labels = []
             for rows in _collect_by_url(ext["mentions"], n):
                 counts: dict = {}
                 for r in rows:
                     counts[r["label"]] = counts.get(r["label"], 0) + 1
+                # max() keeps the FIRST maximal key, so iterating the
+                # sorted keys gives the lexicographically-smallest winner
                 labels.append(
-                    min(sorted(counts), key=lambda k: -counts[k])
-                    if counts else None
+                    max(sorted(counts), key=counts.get) if counts else None
                 )
 
     return {

@@ -284,6 +284,7 @@ def run_extraction_fused(
     persist: bool = True,
     repartition: bool = True,
     split_sentence: bool = False,
+    max_length: int = MAX_LENGTH,
 ) -> dict:
     """Fused-stage variant of run_extraction. pages needs (url, html) when
     from_html else (url, text). Triples come out already per-doc-deduped
@@ -301,7 +302,8 @@ def run_extraction_fused(
     if repartition:
         src = repartition_by_url(src, parts)
     raw = src.mapInPandas(
-        make_fused_doc_fn(vocab, do_events=do_events, from_html=from_html,
+        make_fused_doc_fn(vocab, max_length=max_length, do_events=do_events,
+                          from_html=from_html,
                           split_sentence=split_sentence),
         schema=EXTRACT_SCHEMA,
     )

@@ -544,10 +544,14 @@ FROM votes GROUP BY doc_id
 
 def _sign_band(start: int, n_bits: int):
     """Sign-bit band over embedding dims [start, start+n_bits) — the
-    axis-aligned analogue of a random-hyperplane LSH band."""
+    axis-aligned analogue of a random-hyperplane LSH band. Missing/NULL
+    dims map to a sentinel bit so short vectors band identically in Spark
+    (concat_ws would skip NULLs) and DuckDB (|| would propagate NULL)."""
     return F.concat_ws(
         "", *[
-            (F.element_at("v", start + i + 1) > 0).cast("int").cast("string")
+            F.coalesce(
+                (F.element_at("v", start + i + 1) > 0).cast("int"), F.lit(9)
+            ).cast("string")
             for i in range(n_bits)
         ]
     )
@@ -559,7 +563,13 @@ def emb_near_dup(spark, sf_dir, threshold: float = 0.95, n_bits: int = 6):
     dims 7-12 (two redundant bands — near-identical vectors agree on almost
     every coordinate sign, so OR-ing bands keeps recall high); exact cosine
     runs on band-colliding pairs only. Bucketed self-joins, no crossJoin;
-    skewed buckets are AQE-handled like near_dup_pairs."""
+    skewed buckets are AQE-handled like near_dup_pairs.
+
+    Recall contract: approximate. A true near-duplicate pair whose vectors
+    straddle zero in BOTH band windows is not generated (standard LSH
+    trade-off; add bands/bits to tighten). For an exact verify over an
+    externally supplied candidate set, compute the same cosine expression
+    on that set instead."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -598,12 +608,12 @@ WITH e AS (
 ),
 eb AS (
   SELECT vec_id, v,
-         cast(v[1] > 0 AS INT) || cast(v[2] > 0 AS INT)
-         || cast(v[3] > 0 AS INT) || cast(v[4] > 0 AS INT)
-         || cast(v[5] > 0 AS INT) || cast(v[6] > 0 AS INT) AS b1,
-         cast(v[7] > 0 AS INT) || cast(v[8] > 0 AS INT)
-         || cast(v[9] > 0 AS INT) || cast(v[10] > 0 AS INT)
-         || cast(v[11] > 0 AS INT) || cast(v[12] > 0 AS INT) AS b2
+         coalesce(cast(v[1] > 0 AS INT), 9) || coalesce(cast(v[2] > 0 AS INT), 9)
+         || coalesce(cast(v[3] > 0 AS INT), 9) || coalesce(cast(v[4] > 0 AS INT), 9)
+         || coalesce(cast(v[5] > 0 AS INT), 9) || coalesce(cast(v[6] > 0 AS INT), 9) AS b1,
+         coalesce(cast(v[7] > 0 AS INT), 9) || coalesce(cast(v[8] > 0 AS INT), 9)
+         || coalesce(cast(v[9] > 0 AS INT), 9) || coalesce(cast(v[10] > 0 AS INT), 9)
+         || coalesce(cast(v[11] > 0 AS INT), 9) || coalesce(cast(v[12] > 0 AS INT), 9) AS b2
   FROM e
 ),
 cand AS (
