@@ -54,3 +54,70 @@ def dedup_stream(pages_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-state variant: Bloom-filter state per shard (the true-scale path).
+# ---------------------------------------------------------------------------
+BLOOM_STATE_DDL = "bits binary, n long"
+
+
+def make_bloom_dedup_fn(m_bits: int, k: int):
+    """Per-shard Bloom-filter first-seen filter. State is a FIXED-SIZE bit
+    array (m_bits) + insert count, so per-shard state no longer grows with
+    the stream (the exact-set variant above keeps every url). Trade-off:
+    false positives — a never-seen url can be dropped with probability
+    ~(1 - e^(-k*n/m))^k; at 10^12 urls over enough shards that is the
+    standard dedup-at-scale contract. No false negatives: a re-delivered
+    url is always suppressed. Hash = md5(url) sliced into k indexes,
+    engine-portable and deterministic."""
+    import hashlib
+
+    n_bytes = m_bits // 8
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            got = state.get
+            bits = bytearray(got[0])
+            n = int(got[1])
+        else:
+            bits = bytearray(n_bytes)
+            n = 0
+        out = []
+        for pdf in pdfs:
+            for url, text, lang in zip(pdf["url"], pdf["text"], pdf["lang"]):
+                if url is None:
+                    continue
+                h = hashlib.md5(url.encode("utf-8")).digest()
+                idxs = [
+                    int.from_bytes(h[i * 4 : (i + 1) * 4], "little") % m_bits
+                    for i in range(k)
+                ]
+                if all(bits[i >> 3] >> (i & 7) & 1 for i in idxs):
+                    continue  # seen (or false positive)
+                for i in idxs:
+                    bits[i >> 3] |= 1 << (i & 7)
+                n += 1
+                out.append((url, text, lang))
+        state.update((bytes(bits), n))
+        yield pd.DataFrame(out, columns=["url", "text", "lang"])
+
+    return fn
+
+
+def dedup_stream_bloom(pages_stream: DataFrame, m_bits: int = 1 << 20,
+                       k: int = 4) -> DataFrame:
+    """Streaming first-seen url filter with O(1) per-shard state (Bloom
+    bits instead of the exact url set) — same operator contract as
+    dedup_stream, bounded memory at any stream length."""
+    sharded = pages_stream.select(
+        "url", "text", "lang",
+        F.pmod(F.xxhash64("url"), F.lit(N_SHARDS)).alias("shard"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        make_bloom_dedup_fn(m_bits, k),
+        outputStructType=OUT_DDL,
+        stateStructType=BLOOM_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

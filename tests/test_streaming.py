@@ -122,3 +122,39 @@ def test_stateful_dedup_stream(spark, vocab, tmp_path):
     )
     assert len(out) == 30
     assert all(r["count"] == 1 for r in out)
+
+
+def test_stateful_dedup_stream_bloom(spark, vocab, tmp_path):
+    """Bounded-state Bloom variant: same first-seen contract across waves,
+    but per-shard state is a fixed-size bit array (m_bits) instead of the
+    growing url set. m sized so false positives are ~impossible for 30
+    urls; a cross-batch repeat is still always suppressed."""
+    from fastie_spark.streaming.stateful import dedup_stream_bloom
+
+    in_dir = str(tmp_path / "bd_in")
+    out_dir = str(tmp_path / "bd_out")
+    ckpt = str(tmp_path / "bd_ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+    pages = build_pages(vocab, n_docs=30, seed=9)
+
+    def run_wave(rows):
+        local_df(spark, rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+        q = (
+            dedup_stream_bloom(stream, m_bits=1 << 16, k=4)
+            .writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_wave(pages[:20])
+    assert spark.read.parquet(out_dir).count() == 20
+    run_wave(pages[10:])
+    out = spark.read.parquet(out_dir).groupBy("url").count().collect()
+    assert len(out) == 30
+    assert all(r["count"] == 1 for r in out)
