@@ -483,3 +483,53 @@ def ner_cells_mapped(scorer: DictScorer, masked_text: str, mapping) -> set:
             for lid in lids:
                 cells.add((lid, s_tok, e_tok))
     return cells
+
+
+def re_cells_mapped(scorer: DictScorer, masked_text: str, mapping):
+    """M8 GPLinker grids under an ARBITRARY offset_mapping — the RE side of
+    the tokenizer seam. Same contract as DictScorer.re_cells (entity cells
+    fire for every present subject/object surface; head/tail cells per
+    relation with both sides present), with char occurrences converted to
+    token coordinates through the mapping; occurrences that don't align to
+    token boundaries are unrepresentable (a real span model's constraint).
+    Reduces bit-for-bit to re_cells on the char tokenizer's mapping."""
+    start_lut: dict = {}
+    end_lut: dict = {}
+    for i, (cs, ce) in enumerate(mapping):
+        if cs == 0 and ce == 0:
+            continue
+        start_lut.setdefault(cs, i)
+        end_lut[ce] = i
+    occ = scorer._occ_map(masked_text)
+
+    def tok_spans(surf):
+        out = []
+        for st in occ.get(surf, ()):
+            s_tok = start_lut.get(st)
+            e_tok = end_lut.get(st + len(surf))
+            if s_tok is not None and e_tok is not None:
+                out.append((s_tok, e_tok))
+        return out
+
+    present = {s: sp for s in occ if (sp := tok_spans(s))}
+    ent, head, tail = set(), set(), set()
+    for surf, spans in present.items():
+        if surf in scorer._subj_surfaces:
+            for sh, st in spans:
+                ent.add((0, sh, st))
+        if surf in scorer._obj_surfaces:
+            for oh, ot in spans:
+                ent.add((1, oh, ot))
+    for subj, subj_occ in present.items():
+        rels = scorer._rel_by_subj.get(subj)
+        if not rels:
+            continue
+        for p, obj in rels:
+            obj_occ = present.get(obj)
+            if not obj_occ:
+                continue
+            for sh, st in subj_occ:
+                for oh, ot in obj_occ:
+                    head.add((p, sh, oh))
+                    tail.add((p, st, ot))
+    return ent, head, tail

@@ -143,3 +143,51 @@ class TestTokenizerSeam:
         assert any(m[3] == "Alice" for m in got_char)
         assert not any(m[3] == "Alice" for m in got_sub)
         assert any(m[3] == "中本聪" for m in got_sub)  # aligned ones survive
+
+
+class TestTokenizerSeamRE:
+    """RE side of the seam: GPLinker triples survive a multi-char-token
+    tokenizer when surfaces align to token boundaries."""
+
+    def _vocab(self):
+        from fastie_spark.scorer import Vocab
+
+        return Vocab(
+            entity_vocab=[("Acme", "org"), ("Bob", "per"), ("中本聪", "per")],
+            relation_vocab=[("Acme", "founder", "Bob"),
+                            ("Acme", "ceo_of", "中本聪")],
+        )
+
+    def _decode(self, text, encode_fn):
+        from fastie_spark.decoders import gplinker_decode_cells
+        from fastie_spark.scorer import DictScorer, re_cells_mapped
+
+        vocab = self._vocab()
+        scorer = DictScorer(vocab)
+        enc = encode_fn(text)
+        ent, head, tail = re_cells_mapped(scorer, text,
+                                          enc["offset_mapping"])
+        id2pred = dict(enumerate(vocab.predicates()))
+        return gplinker_decode_cells(ent, head, tail, enc["seq_len"], text,
+                                     enc["offset_mapping"], id2pred)
+
+    def test_parity_char_vs_subword(self):
+        from fastie_spark.tokenizer import encode_meta, subword_encode_meta
+
+        text = "关于Acme：创始人是Bob，而中本聪 Acme 也有联系。"
+        got_char = self._decode(text, encode_meta)
+        got_sub = self._decode(text, subword_encode_meta)
+        assert got_char == got_sub
+        assert ("founder", "Acme", "Bob") in got_sub
+        assert ("ceo_of", "Acme", "中本聪") in got_sub
+
+    def test_mapped_reduces_to_re_cells_on_char_mapping(self):
+        from fastie_spark.scorer import DictScorer, re_cells_mapped
+        from fastie_spark.tokenizer import encode_meta
+
+        vocab = self._vocab()
+        scorer = DictScorer(vocab)
+        text = "Acme Bob 中本聪 " * 60  # crosses truncation
+        enc = encode_meta(text)
+        assert re_cells_mapped(scorer, text, enc["offset_mapping"]) == \
+            scorer.re_cells(text)
