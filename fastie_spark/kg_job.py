@@ -34,16 +34,33 @@ def run_kg_job(
     repartition: bool = True,
 ) -> dict:
     """Returns dict with stage DataFrames and summary counts/timings."""
+    from pyspark.sql import Observation
+
     t0 = time.time()
 
     stages = run_extraction_fused(
         spark, pages, vocab, num_partitions=num_partitions, from_html=True,
         repartition=repartition,
     )
+    # per-kind counts ride along with the FIRST action that scans the raw
+    # extraction output (observe = CollectMetrics; filters are not pushed
+    # below it) instead of paying a dedicated groupBy job + cache scan
+    obs = Observation("kind_counts")
+    raw = stages["_raw"].observe(
+        obs,
+        F.sum((F.col("kind") == "mention").cast("long")).alias("mention"),
+        F.sum((F.col("kind") == "triple").cast("long")).alias("triple"),
+        F.sum((F.col("kind") == "event").cast("long")).alias("event"),
+    )
+    from .pipeline import EVENT_COLS, MENTION_COLS, TRIPLE_COLS
+
+    mentions_raw = raw.filter(F.col("kind") == "mention").select(*MENTION_COLS)
+    triples_raw = raw.filter(F.col("kind") == "triple").select(*TRIPLE_COLS)
+    events_raw = raw.filter(F.col("kind") == "event").select(*EVENT_COLS)
 
     # stage 3: entity linking (broadcast dict join)
-    triples_linked = link_triples(stages["triples"], linker)
-    mentions_linked = link_mentions(stages["mentions"], linker)
+    triples_linked = link_triples(triples_raw, linker)
+    mentions_linked = link_mentions(mentions_raw, linker)
 
     # stage 4: canonicalization (union-find over alias edges)
     components = connected_components(alias_edges)
@@ -56,7 +73,7 @@ def run_kg_job(
     result = {
         "mentions": mentions_linked,
         "triples": triples_linked,
-        "events": stages["events"],
+        "events": events_raw,
     }
 
     if out_dir is not None:
@@ -86,13 +103,11 @@ def run_kg_job(
     result["nodes"] = graph["nodes"]
     result["edges"] = graph["edges"]
 
-    counts = (
-        stages["_raw"]
-        .groupBy("kind")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
-    result["counts"] = {r["kind"]: r["n"] for r in counts}
+    # the write/count action above already flowed every raw row through the
+    # observe node — obs.get is a metadata fetch, not another job
+    result["counts"] = {
+        k: int(v) for k, v in obs.get.items() if v and int(v) > 0
+    }
     result["wall_sec"] = time.time() - t0
     stages["_raw"].unpersist()
     return result
