@@ -15,18 +15,31 @@ from pyspark.sql import functions as F
 
 
 def micro_prf_df(pred: DataFrame, gold: DataFrame, keys: list[str]) -> DataFrame:
-    """One-row DataFrame (tp, n_pred, n_gold, precision, recall, f1)."""
-    p = pred.select(*keys).dropDuplicates(keys)
-    g = gold.select(*keys).dropDuplicates(keys)
-    tp = p.join(g, keys, "inner").count()
-    n_pred, n_gold = p.count(), g.count()
-    prec = tp / n_pred if n_pred else 0.0
-    rec = tp / n_gold if n_gold else 0.0
-    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
-    spark = pred.sparkSession
-    return spark.createDataFrame(
-        [(tp, n_pred, n_gold, float(prec), float(rec), float(f1))],
-        "tp long, n_pred long, n_gold long, precision double, recall double, f1 double",
+    """One-row DataFrame (tp, n_pred, n_gold, precision, recall, f1).
+
+    Fully declarative single aggregation: pred and gold are deduped, FULL-
+    OUTER-joined on the key tuple (one shuffle each side — same cost as the
+    inner join alone), and tp / n_pred / n_gold fall out of ONE conditional-
+    sum agg. The former 3-count formulation scanned both inputs three times
+    (3 jobs); at 100 TB pred/gold are corpus-derived tables, so this is a
+    3x I/O reduction (job count pinned in tests/test_event_metrics.py)."""
+    p = pred.select(*keys).dropDuplicates(keys).withColumn("_p", F.lit(1))
+    g = gold.select(*keys).dropDuplicates(keys).withColumn("_g", F.lit(1))
+    j = p.join(g, keys, "full_outer")
+    both = F.col("_p").isNotNull() & F.col("_g").isNotNull()
+    agg = j.agg(
+        F.coalesce(F.sum(F.when(both, 1)), F.lit(0)).cast("long").alias("tp"),
+        F.coalesce(F.sum("_p"), F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce(F.sum("_g"), F.lit(0)).cast("long").alias("n_gold"),
+    )
+    prec = F.when(F.col("n_pred") > 0,
+                  F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_gold") > 0,
+                 F.col("tp") / F.col("n_gold")).otherwise(0.0)
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return agg.select(
+        "tp", "n_pred", "n_gold",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )
 
 
@@ -71,54 +84,54 @@ def _event_arrays(events: DataFrame, require_trigger: bool) -> DataFrame:
 def event_prf(pred: DataFrame, gold: DataFrame) -> dict:
     """A2: event-level (exact sorted-argument-list match, trigger-bearing
     predictions only) + argument-level (tuples excl. trigger) micro P/R/F1
-    (precision_recall_fscore.py:38-74)."""
-    pe = _event_arrays(pred, require_trigger=True)
-    ge = _event_arrays(gold, require_trigger=False)
-    e_tp = pe.join(ge, ["url", "event"], "inner").count()
-    e_pred, e_gold = pe.count(), ge.count()
-
-    keys = ["url", "event_type", "role", "argument"]
-    pa = pred.filter(F.col("role").isNotNull()).select(*keys).dropDuplicates(keys)
-    ga = gold.filter(F.col("role").isNotNull()).select(*keys).dropDuplicates(keys)
-    a_tp = pa.join(ga, keys, "inner").count()
-    a_pred, a_gold = pa.count(), ga.count()
-
-    def prf(tp, np_, ng):
-        p = tp / np_ if np_ else 0.0
-        r = tp / ng if ng else 0.0
-        return p, r, (2 * p * r / (p + r) if p + r else 0.0)
-
-    ep, er, ef = prf(e_tp, e_pred, e_gold)
-    ap, ar, af = prf(a_tp, a_pred, a_gold)
+    (precision_recall_fscore.py:38-74). Thin dict view over the fused
+    single-job event_prf_df (metrics rounded to 6 decimals in-plan)."""
+    row = event_prf_df(pred, gold).collect()[0]
     return {
-        "event_precision": ep, "event_recall": er, "event_f1": ef,
-        "argu_precision": ap, "argu_recall": ar, "argu_f1": af,
+        k: row[k]
+        for k in ("event_precision", "event_recall", "event_f1",
+                  "argu_precision", "argu_recall", "argu_f1")
     }
 
 
 def event_prf_df(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """event_prf as ONE declarative DataFrame (no driver-side counts): the
-    six counts are 1-row aggregates cross-joined (each a map-side-combinable
-    count at scale), P/R/F1 computed in-plan. Same semantics as event_prf
-    (A2, precision_recall_fscore.py:38-74)."""
-    pe = _event_arrays(pred, require_trigger=True)
-    ge = _event_arrays(gold, require_trigger=False)
-    e_tp = pe.join(ge, ["url", "event"], "inner").agg(
-        F.count("*").cast("long").alias("e_tp"))
-    e_np = pe.agg(F.count("*").cast("long").alias("e_pred"))
-    e_ng = ge.agg(F.count("*").cast("long").alias("e_gold"))
+    event-level and argument-level tuple universes are each FULL-OUTER-joined
+    pred-vs-gold (so tp and the two side counts come from one pass), tagged
+    with a level marker, unioned, and reduced by a SINGLE 6-way conditional-
+    sum aggregation — one job, two scans of each input (one per key space),
+    instead of the former 6 independent 1-row aggregates (6 jobs, 6 scans).
+    Same semantics as event_prf (A2, precision_recall_fscore.py:38-74)."""
+    pe = _event_arrays(pred, require_trigger=True).withColumn("_p", F.lit(1))
+    ge = _event_arrays(gold, require_trigger=False).withColumn("_g", F.lit(1))
+    ej = pe.join(ge, ["url", "event"], "full_outer").select(
+        F.lit("e").alias("lvl"), "_p", "_g"
+    )
 
     keys = ["url", "event_type", "role", "argument"]
-    pa = pred.filter(F.col("role").isNotNull()).select(*keys).dropDuplicates(keys)
-    ga = gold.filter(F.col("role").isNotNull()).select(*keys).dropDuplicates(keys)
-    a_tp = pa.join(ga, keys, "inner").agg(
-        F.count("*").cast("long").alias("a_tp"))
-    a_np = pa.agg(F.count("*").cast("long").alias("a_pred"))
-    a_ng = ga.agg(F.count("*").cast("long").alias("a_gold"))
+    pa = (pred.filter(F.col("role").isNotNull()).select(*keys)
+          .dropDuplicates(keys).withColumn("_p", F.lit(1)))
+    ga = (gold.filter(F.col("role").isNotNull()).select(*keys)
+          .dropDuplicates(keys).withColumn("_g", F.lit(1)))
+    aj = pa.join(ga, keys, "full_outer").select(
+        F.lit("a").alias("lvl"), "_p", "_g"
+    )
 
-    row = (
-        e_tp.crossJoin(e_np).crossJoin(e_ng)
-        .crossJoin(a_tp).crossJoin(a_np).crossJoin(a_ng)
+    both = F.col("_p").isNotNull() & F.col("_g").isNotNull()
+
+    def cnt(lvl, cond, name):
+        return (
+            F.coalesce(F.sum(F.when((F.col("lvl") == lvl) & cond, 1)), F.lit(0))
+            .cast("long").alias(name)
+        )
+
+    row = ej.unionByName(aj).agg(
+        cnt("e", both, "e_tp"),
+        cnt("e", F.col("_p").isNotNull(), "e_pred"),
+        cnt("e", F.col("_g").isNotNull(), "e_gold"),
+        cnt("a", both, "a_tp"),
+        cnt("a", F.col("_p").isNotNull(), "a_pred"),
+        cnt("a", F.col("_g").isNotNull(), "a_gold"),
     )
 
     def prf(tp, np_, ng, prefix):

@@ -303,11 +303,21 @@ FROM s GROUP BY doc_id
 
 
 def near_dup_pairs(spark, sf_dir):
-    """LSH banding: candidate pairs sharing band (mh0, mh1). Self-join on
-    the band key — at scale this is the classic band-bucket join; skewed
-    buckets (boilerplate docs) are AQE-skew-handled."""
+    """LSH banding: candidate pairs sharing band (mh0, mh1) OR band
+    (mh2, mh3) — the standard b=2, r=2 banding over the 4 minhash families
+    (a pair with Jaccard j collides with prob 1-(1-j^2)^2 instead of the
+    single-band j^2). Implemented as ONE self-join: each doc explodes into
+    its two (band_idx, band_key) rows and the join key is the pair, so both
+    bands ride a single shuffle; at scale this is the classic band-bucket
+    join and skewed buckets (boilerplate docs) are AQE-skew-handled."""
     sig = minhash_signature(spark, sf_dir).select(
-        "doc_id", F.concat_ws("|", "mh0", "mh1").alias("band")
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat_ws("|", F.lit("0"), "mh0", "mh1"),
+                F.concat_ws("|", F.lit("1"), "mh2", "mh3"),
+            )
+        ).alias("band"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -320,7 +330,11 @@ def near_dup_pairs(spark, sf_dir):
 
 NEAR_DUP_PAIRS_SQL = f"""
 WITH sig AS ({MINHASH_SIGNATURE_SQL}),
-b AS (SELECT doc_id, mh0 || '|' || mh1 AS band FROM sig)
+b AS (
+  SELECT doc_id, '0|' || mh0 || '|' || mh1 AS band FROM sig
+  UNION ALL
+  SELECT doc_id, '1|' || mh2 || '|' || mh3 AS band FROM sig
+)
 SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
 FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
 """
@@ -709,11 +723,19 @@ WHERE i.inter / cast(sa.n + sb.n - i.inter AS DOUBLE) >= 0.3
 
 
 # ------------------------------------------------- IVF/LSH-bucketed ANN
-def knn_ivf(spark, sf_dir, n_queries: int = 5, k: int = 3, n_bits: int = 6):
+def knn_ivf(spark, sf_dir, n_queries: int = 5, k: int = 3, n_bits: int = 6,
+            n_probes: int | None = None):
     """Scale-path ANN: sign-bit bucketing (axis-aligned LSH) over the first
-    n_bits dims -> exact cosine only within the query's bucket. Trades
-    recall for a bucket-local search; the brute-force knn_cosine is the
-    ground-truth baseline."""
+    n_bits dims -> exact cosine only within the probed buckets. MULTI-PROBE:
+    each query searches its own bucket plus its n_bits Hamming-1 neighbor
+    buckets (the near-zero coordinates most likely to flip sign on a true
+    neighbor), lifting recall at (n_bits+1)x the bucket-local candidate cost
+    while still touching a ~2^-n_bits-ish fraction of the corpus. The probe
+    fan-out lives on the broadcast (tiny) query side, so the big table is
+    still scanned once, unbucketed rows untouched. Brute-force knn_cosine is
+    the ground-truth baseline; recall@k vs it is pytest-gated.
+    n_probes limits the probe list (1 = the old single-probe behavior;
+    default = 1 + n_bits, the full Hamming-1 ball)."""
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -729,13 +751,26 @@ def knn_ivf(spark, sf_dir, n_queries: int = 5, k: int = 3, n_bits: int = 6):
         F.col("vec_id").alias("q_vec_id"), F.col("v").alias("qv"),
         F.col("bucket").alias("qb"),
     )
+    # probe list: own bucket + one bit flipped at each position
+    probes = [F.col("qb")] + [
+        F.concat(
+            F.substring("qb", 1, i),
+            F.when(F.substring("qb", i + 1, 1) == "1", F.lit("0"))
+            .otherwise(F.lit("1")),
+            F.substring("qb", i + 2, n_bits - i - 1),
+        )
+        for i in range(n_bits)
+    ]
+    if n_probes is not None:
+        probes = probes[:n_probes]
+    qp = q.withColumn("pb", F.explode(F.array(*probes)))
     dot = F.aggregate(
         F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
     nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
     nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     scored = (
-        eb.join(F.broadcast(q), eb["bucket"] == q["qb"])
+        eb.join(F.broadcast(qp), eb["bucket"] == qp["pb"])
         .filter(F.col("vec_id") != F.col("q_vec_id"))
         .select("q_vec_id", "vec_id", (dot / (nq * nv)).alias("cos"))
     )
@@ -761,13 +796,23 @@ eb AS (
   FROM e
 ),
 q AS (SELECT vec_id AS q_vec_id, v AS qv, bucket AS qb FROM eb WHERE vec_id < 5),
+probes AS (
+  SELECT q_vec_id, qv,
+         CASE WHEN g.i = 0 THEN qb
+              ELSE substr(qb, 1, cast(g.i - 1 AS INT))
+                   || (CASE WHEN substr(qb, cast(g.i AS INT), 1) = '1'
+                            THEN '0' ELSE '1' END)
+                   || substr(qb, cast(g.i + 1 AS INT))
+         END AS pb
+  FROM q, generate_series(0, 6) AS g(i)
+),
 scored AS (
-  SELECT q.q_vec_id, eb.vec_id,
-         list_sum(list_transform(list_zip(q.qv, eb.v), p -> p[1] * p[2]))
-           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+  SELECT p.q_vec_id, eb.vec_id,
+         list_sum(list_transform(list_zip(p.qv, eb.v), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
               * sqrt(list_sum(list_transform(eb.v, x -> x * x)))) AS cos
-  FROM eb JOIN q ON eb.bucket = q.qb
-  WHERE eb.vec_id <> q.q_vec_id
+  FROM eb JOIN probes p ON eb.bucket = p.pb
+  WHERE eb.vec_id <> p.q_vec_id
 )
 SELECT q_vec_id, vec_id AS nn_vec_id, cast(rnk AS BIGINT) AS rnk
 FROM (SELECT *, row_number() OVER (PARTITION BY q_vec_id

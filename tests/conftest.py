@@ -16,6 +16,32 @@ def spark():
     s.stop()
 
 
+def count_jobs(spark, action):
+    """Number of Spark jobs triggered by action() (via a throwaway job
+    group). With AQE enabled each materialized shuffle query stage shows up
+    as its own job, so callers pinning '1 action = 1 job' should disable
+    AQE around the probe."""
+    import uuid
+
+    sc = spark.sparkContext
+    g = f"jobcount-{uuid.uuid4().hex}"
+    sc.setJobGroup(g, "job-count probe")
+    try:
+        action()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(g))
+
+
+@pytest.fixture()
+def no_aqe(spark):
+    """Temporarily disable AQE so job counts map 1:1 to actions."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 @pytest.fixture(scope="session")
 def vocab():
     from fastie_spark.fixtures import build_vocab

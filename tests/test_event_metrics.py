@@ -42,6 +42,25 @@ def test_event_prf(spark):
     assert m["argu_recall"] == 1.0
 
 
+def test_metric_aggregations_are_single_job(no_aqe):
+    """The fused metric formulations run ONE Spark job per metric (the old
+    shape was 3 jobs for micro_prf and 6 for event_prf — at 100 TB that is
+    3-6 redundant scans of corpus-derived pred/gold tables)."""
+    from conftest import count_jobs
+    from fastie_spark.metrics import event_prf_df, micro_prf_df
+
+    spark = no_aqe
+    gold = _df(spark, [("u1", "layoff", "裁员", "count", "900人", "g1")])
+    pred = _df(spark, [("u1", "layoff", "裁员", "count", "900人", "p1")])
+    gold.count()  # warm python workers outside the probe
+    assert count_jobs(
+        spark, lambda: micro_prf_df(pred, gold, ["url", "role"]).collect()
+    ) == 1
+    assert count_jobs(
+        spark, lambda: event_prf_df(pred, gold).collect()
+    ) == 1
+
+
 def test_event_prf_exact_on_extraction(spark, pages_df, vocab):
     """Self-comparison of the extraction output must be exactly 1.0 —
     catches representation drift between rows and the metric."""
