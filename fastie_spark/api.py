@@ -4,13 +4,28 @@ request/response shapes from fastie/api/protocol.py:25-78).
 
 ``run_ie(spark, texts, task, ...)`` accepts the IECreateParams fields
 (texts, ie_schema, batch_size, max_length) and returns the response dict
-{id, object, created, model, labels} with per-task ``labels`` matching the
-reference's ``model.predict`` output shape. Inference runs through the same
-Spark stages as the batch job (fused extraction / UIE BFS), so the façade
-is a capability match, not a parallel implementation; for ad-hoc few-text
-calls the Arrow batch is the batching unit (the reference's LitServe
-batch_size is accepted and recorded but superseded by Arrow batching,
-fastie/api/server.py:22-75).
+{id, object, created, model, labels} with the task-prefixed id family of
+protocol.py (ner-/rel-/event-/uie-/cls-) and per-task ``labels`` in the
+reference ``model.predict`` output shapes:
+
+- NER:   per-text ``{label: [{"start", "end", "text"}]}`` (set2json,
+         global_pointer/decode_utils.py:109-115)
+- RE:    per-text ``{predicate: [{"subject", "object"}]}`` (set2json,
+         relation_extraction/gplinker/decode_utils.py:114-120)
+- event: per-text ``[{"event_type", "arguments": [{"role", "argument"}],
+         "trigger"?}]`` (event set2json, event_extraction/gplinker/
+         decode_utils.py:76-100)
+- UIE:   per-text nested ``{name: [{text,start,end,probability,
+         relations}]}`` dicts
+- CLS:   per-text predicted label
+
+One documented deviation: within-list order is made deterministic by
+sorting (the reference iterates Python sets, so its order is
+process-dependent). Inference runs through the same Spark stages as the
+batch job (fused extraction / UIE BFS), so the façade is a capability
+match, not a parallel implementation; for ad-hoc few-text calls the Arrow
+batch is the batching unit (the reference's LitServe batch_size is accepted
+but superseded by Arrow batching, fastie/api/server.py:22-75).
 """
 
 from __future__ import annotations
@@ -131,28 +146,43 @@ def run_ie(
             max_length=max_length,
         )
         if task == "named-entity-recognition":
-            labels = [
-                sorted(
-                    (r["label"], int(r["start"]), int(r["end"]), r["surface"])
-                    for r in rows
-                )
-                for rows in _collect_by_url(ext["mentions"], n)
-            ]
+            # reference set2json: {label: [{"start","end","text"}]}
+            labels = []
+            for rows in _collect_by_url(ext["mentions"], n):
+                res: dict = {}
+                for r in sorted(
+                    rows, key=lambda r: (r["label"], r["start"], r["end"])
+                ):
+                    res.setdefault(r["label"], []).append(
+                        {"start": int(r["start"]), "end": int(r["end"]),
+                         "text": r["surface"]}
+                    )
+                labels.append(res)
         elif task == "relation-extraction":
-            labels = [
-                sorted((r["subj"], r["pred"], r["obj"]) for r in rows)
-                for rows in _collect_by_url(ext["triples"], n)
-            ]
+            # reference set2json: {predicate: [{"subject","object"}]}
+            labels = []
+            for rows in _collect_by_url(ext["triples"], n):
+                res = {}
+                for r in sorted(
+                    rows, key=lambda r: (r["pred"], r["subj"], r["obj"])
+                ):
+                    res.setdefault(r["pred"], []).append(
+                        {"subject": r["subj"], "object": r["obj"]}
+                    )
+                labels.append(res)
         elif task == "event-extraction":
+            # reference event set2json: {"event_type", "arguments", and a
+            # "trigger" key only when a trigger argument exists}
             labels = []
             for rows in _collect_by_url(ext["events"], n):
                 by_key: dict = {}
                 for r in rows:
                     ev = by_key.setdefault(
                         r["event_key"],
-                        {"event_type": r["event_type"],
-                         "trigger": r["trigger"], "arguments": []},
+                        {"event_type": r["event_type"], "arguments": []},
                     )
+                    if r["trigger"] is not None:
+                        ev["trigger"] = r["trigger"]
                     if r["role"] is not None:
                         ev["arguments"].append(
                             {"role": r["role"], "argument": r["argument"]}
@@ -177,11 +207,17 @@ def run_ie(
                     max(sorted(counts), key=counts.get) if counts else None
                 )
 
+    prefix = {
+        "text-classification": "cls",
+        "named-entity-recognition": "ner",
+        "relation-extraction": "rel",
+        "event-extraction": "event",
+        "uie": "uie",
+    }[task]
     return {
-        "id": f"ie-{secrets.token_hex(12)}",
+        "id": f"{prefix}-{secrets.token_hex(12)}",
         "object": task,
         "created": int(time.time()),
         "model": "fastie-spark-dict-scorer",
-        "batch_size": batch_size,
         "labels": labels,
     }

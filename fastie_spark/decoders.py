@@ -155,7 +155,7 @@ def clique_search_reference(argus, links):
     return [sorted(argus)]
 
 
-def clique_search(argus, links):
+def clique_search(argus, links, max_states: int = 1 << 20):
     """Rewrite of the reference maximal-complete-subgraph recursion
     (decode_utils.py:44-62). Nodes become indices over the (set-derived,
     hence distinct) argu list, subsets become int bitmasks, and the
@@ -170,7 +170,15 @@ def clique_search(argus, links):
     occurrence); content sets and their order are identical, and the
     decoded events after event_set2json are bit-identical (arguments are
     DedupList'd). Both properties are pinned by the differential fuzz in
-    tests/test_decoder_fuzz.py."""
+    tests/test_decoder_fuzz.py.
+
+    Memory bound: the subset memo can grow exponentially on dense
+    adversarial link graphs (the reference recursion has the same state
+    space, spent as stack depth + repeated work instead). max_states caps
+    the number of memoized subsets; exceeding it raises RuntimeError rather
+    than exhausting worker memory. The default (2^20 states) comfortably
+    covers every real event grid (n = distinct argument roles per
+    doc x event_type, typically < 20)."""
     n = len(argus)
     if n <= 1:
         return [sorted(argus)]
@@ -207,6 +215,12 @@ def clique_search(argus, links):
                             seen.add(nb)
                             out.append(nb)
         expans[sub] = out
+        if len(expans) + len(memo) > max_states:
+            raise RuntimeError(
+                f"clique_search state explosion: >{max_states} subsets for "
+                f"n={n} arguments — adversarially dense link graph; raise "
+                f"max_states or pre-split the argument set"
+            )
         return out
 
     memo: dict = {}

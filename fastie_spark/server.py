@@ -1,0 +1,99 @@
+"""HTTP binding for ``run_ie`` — the literal reference serving surface:
+``POST /v1/ie`` (/root/reference/fastie/api/app.py:65-81), request fields
+from IECreateParams (fastie/api/protocol.py:25-29: texts, ie_schema,
+batch_size, max_length), response = the task-prefixed {id, object, created,
+model, labels} family (protocol.py:32-70). Optional bearer-token auth
+mirrors the reference's API_KEY check (app.py:57-60).
+
+Stdlib-only (http.server.ThreadingHTTPServer — no new deps in this
+container; the reference uses FastAPI/uvicorn, and LitServe in server.py).
+Like the reference, one server binds ONE model/task (the reference derives
+the task from the loaded checkpoint's architecture; here it's the ``task``
+argument), and every request funnels into the same SparkSession held by the
+driver process. Spark job submission is thread-safe, so the threading
+server's concurrent requests are fine — they just share the cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from .api import TASKS, run_ie
+from .scorer import Vocab
+
+
+def create_server(
+    spark: SparkSession,
+    vocab: Vocab,
+    task: str = "uie",
+    default_schema=None,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    api_key: str | None = None,
+    is_english: bool = False,
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server. port=0 picks a free port
+    (read it back from ``server.server_address``)."""
+    if task not in TASKS:
+        raise ValueError(f"unknown task {task!r}; expected one of {TASKS}")
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "fastie-spark"
+
+        def log_message(self, fmt, *args):  # noqa: A002 - silence stderr
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802 - http.server API
+            if self.path.rstrip("/") != "/v1/ie":
+                self._send(404, {"detail": "Not Found"})
+                return
+            if api_key:
+                auth = self.headers.get("Authorization", "")
+                if auth != f"Bearer {api_key}":
+                    # reference: 401 "Invalid API key." (app.py:58-60)
+                    self._send(401, {"detail": "Invalid API key."})
+                    return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                texts = req["texts"]
+            except (json.JSONDecodeError, KeyError, ValueError) as ex:
+                self._send(400, {"detail": f"bad request: {ex}"})
+                return
+            try:
+                resp = run_ie(
+                    spark,
+                    texts,
+                    task=task,
+                    vocab=vocab,
+                    ie_schema=req.get("ie_schema", default_schema),
+                    batch_size=req.get("batch_size", 16),
+                    max_length=req.get("max_length", 512),
+                    is_english=is_english,
+                )
+            except ValueError as ex:  # validation errors -> 400, not 500
+                self._send(400, {"detail": str(ex)})
+                return
+            self._send(200, resp)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_in_background(server: ThreadingHTTPServer) -> threading.Thread:
+    """Start serve_forever on a daemon thread; shut down with
+    ``server.shutdown(); server.server_close()``."""
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t

@@ -73,6 +73,12 @@ def make_bloom_dedup_fn(m_bits: int, k: int):
     engine-portable and deterministic."""
     import hashlib
 
+    if m_bits <= 0 or m_bits % 8 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
+    if not 1 <= k <= 4:
+        # k indexes are 4-byte slices of the 16-byte md5 digest; k > 4 would
+        # silently read past the digest and degrade to constant-0 indexes
+        raise ValueError(f"k must be in [1, 4], got {k}")
     n_bytes = m_bits // 8
 
     def fn(key, pdfs, state):

@@ -571,7 +571,8 @@ def _sign_band(start: int, n_bits: int):
     )
 
 
-def emb_near_dup(spark, sf_dir, threshold: float = 0.95, n_bits: int = 6):
+def emb_near_dup(spark, sf_dir, threshold: float = 0.95, n_bits: int = 6,
+                 exhaustive: bool = False):
     """Embedding-cosine near-duplicate pairs, candidates->verify (the
     100 TB shape): candidate pairs share a sign-bit band over dims 1-6 OR
     dims 7-12 (two redundant bands — near-identical vectors agree on almost
@@ -581,9 +582,11 @@ def emb_near_dup(spark, sf_dir, threshold: float = 0.95, n_bits: int = 6):
 
     Recall contract: approximate. A true near-duplicate pair whose vectors
     straddle zero in BOTH band windows is not generated (standard LSH
-    trade-off; add bands/bits to tighten). For an exact verify over an
-    externally supplied candidate set, compute the same cosine expression
-    on that set instead."""
+    trade-off; add bands/bits to tighten). Callers needing EXACT semantics
+    opt in with exhaustive=True: the candidate stage becomes the full
+    vec_a < vec_b pair set (a deliberate O(n^2) cross join — correct, and
+    only viable on small/pre-filtered inputs; the default banded path is the
+    100 TB shape and is the one plan-gated against cartesian products)."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -600,9 +603,14 @@ def emb_near_dup(spark, sf_dir, threshold: float = 0.95, n_bits: int = 6):
             F.col("vec_a") < F.col("vec_b")
         ).select("vec_a", "vec_b", "va", "vb")
 
-    cand = band_pairs("b1").unionByName(band_pairs("b2")).dropDuplicates(
-        ["vec_a", "vec_b"]
-    )
+    if exhaustive:
+        a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+        b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+        cand = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    else:
+        cand = band_pairs("b1").unionByName(band_pairs("b2")).dropDuplicates(
+            ["vec_a", "vec_b"]
+        )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )

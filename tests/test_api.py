@@ -12,10 +12,16 @@ def test_run_ie_ner_and_re(spark, vocab):
     texts = [f"{subj}和{obj}的报道。", "无关内容。"]
     ner = run_ie(spark, texts, task="named-entity-recognition", vocab=vocab)
     assert ner["object"] == "named-entity-recognition"
-    assert any(m[3] == subj for m in ner["labels"][0])
-    assert ner["labels"][1] == []
+    assert ner["id"].startswith("ner-")
+    # reference set2json shape: {label: [{"start","end","text"}]}
+    items = [it for lst in ner["labels"][0].values() for it in lst]
+    assert any(it["text"] == subj for it in items)
+    assert all(set(it) == {"start", "end", "text"} for it in items)
+    assert ner["labels"][1] == {}
     re_ = run_ie(spark, texts, task="relation-extraction", vocab=vocab)
-    assert (subj, pred, obj) in re_["labels"][0]
+    assert re_["id"].startswith("rel-")
+    assert {"subject": subj, "object": obj} in re_["labels"][0].get(pred, [])
+    assert "batch_size" not in re_  # reference response has no such field
 
 
 def test_run_ie_events(spark, vocab):
@@ -54,6 +60,60 @@ def test_run_ie_uie_matches_oracle_nesting(spark, vocab):
     # the relation child actually fired
     assert any("relations" in it
                for r in want for v in r.values() for it in v)
+
+
+def test_http_v1_ie_round_trip(spark, vocab):
+    """POST /v1/ie over a real socket — the reference's literal serving
+    surface (app.py:65-81), stdlib-bound. Covers: 200 happy path with the
+    task-prefixed response shape, 401 on bad bearer token, 400 on bad body,
+    404 on a wrong path."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from fastie_spark.server import create_server, serve_in_background
+
+    subj, pred, obj = vocab.relation_vocab[0]
+    srv = create_server(spark, vocab, task="relation-extraction",
+                        api_key="sek")
+    serve_in_background(srv)
+    host, port = srv.server_address
+    url = f"http://{host}:{port}/v1/ie"
+
+    def post(path_url, body, key="sek"):
+        req = urllib.request.Request(
+            path_url, data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {key}"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+
+    try:
+        status, resp = post(url, {"texts": [f"{subj}和{obj}。"]})
+        assert status == 200
+        assert resp["id"].startswith("rel-")
+        assert resp["object"] == "relation-extraction"
+        assert {"subject": subj, "object": obj} in resp["labels"][0].get(
+            pred, []
+        )
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(url, {"texts": ["x"]}, key="wrong")
+        assert e.value.code == 401
+        assert json.loads(e.value.read())["detail"] == "Invalid API key."
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(url, {"no_texts": True})
+        assert e.value.code == 400
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(f"http://{host}:{port}/v2/other", {"texts": ["x"]})
+        assert e.value.code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_run_ie_validation(spark, vocab):

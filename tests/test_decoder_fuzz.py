@@ -152,3 +152,27 @@ def test_clique_search_matches_reference_fuzz():
             )
         assert events_from(clique_search) == events_from(
             clique_search_reference)
+
+
+def test_clique_search_state_cap():
+    """The subset memo is bounded: a dense adversarial link graph raises
+    RuntimeError at max_states instead of exhausting worker memory; the
+    same graph solves fine under the default (2^20) budget."""
+    import random
+
+    import pytest
+
+    from fastie_spark.decoders import clique_search
+
+    random.seed(3)
+    n = 14
+    argus = [("e", f"r{i}", i, i) for i in range(n)]
+    links = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if random.random() < 0.5:
+                links.add((i, i, j, j))
+                links.add((j, j, i, i))
+    with pytest.raises(RuntimeError, match="state explosion"):
+        clique_search(argus, links, max_states=64)
+    assert len(clique_search(argus, links)) == 20

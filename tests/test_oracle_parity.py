@@ -107,3 +107,22 @@ def test_emb_near_dup_nonempty_at_low_threshold(spark, duck):
     assert len(srows) == len(drows) and len(srows) > 0
     cols = sorted(sdf.columns)
     assert _norm(srows, cols) == _norm(drows, cols)
+
+
+def test_emb_near_dup_exhaustive_superset(spark):
+    """exhaustive=True is the exact path: at a low threshold its pair set
+    must contain every banded pair, and any extra pairs are exactly the
+    LSH recall loss (vectors straddling zero in both band windows)."""
+    from fastie_spark.textops import emb_near_dup
+
+    banded = {
+        (r["vec_a"], r["vec_b"])
+        for r in emb_near_dup(spark, SF_DIR, threshold=0.2).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in emb_near_dup(spark, SF_DIR, threshold=0.2,
+                              exhaustive=True).collect()
+    }
+    assert banded <= exact
+    assert len(exact) > 0

@@ -158,3 +158,15 @@ def test_stateful_dedup_stream_bloom(spark, vocab, tmp_path):
     out = spark.read.parquet(out_dir).groupBy("url").count().collect()
     assert len(out) == 30
     assert all(r["count"] == 1 for r in out)
+
+
+def test_bloom_params_validated():
+    import pytest
+
+    from fastie_spark.streaming.stateful import make_bloom_dedup_fn
+
+    with pytest.raises(ValueError, match="multiple of 8"):
+        make_bloom_dedup_fn(m_bits=12, k=2)
+    with pytest.raises(ValueError, match=r"k must be"):
+        make_bloom_dedup_fn(m_bits=64, k=5)
+    make_bloom_dedup_fn(m_bits=64, k=4)  # boundary values are fine
