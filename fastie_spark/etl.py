@@ -75,6 +75,206 @@ def duee_flatten(events: DataFrame) -> DataFrame:
     return triggers.unionByName(arguments)
 
 
+def convert_ext_examples_compat(rows: list, negative_ratio: int = 3,
+                                seed: int = 1000,
+                                schema_lang: str = "ch") -> tuple:
+    """Faithful re-realization of the reference's seeded negative sampling
+    (convert_ext_examples, /root/reference/fastie/data/uie/utils.py:231-539,
+    driven by convert_uie_data's set_seed, doccano.py:15-16) for the
+    is_train ext path: the SAME Mersenne-Twister call sequence
+    (random.sample in add_entity_negative_example utils.py:96-128 and
+    add_relation_negative_example utils.py:131-160, random.randrange in the
+    redundants2/3 construction utils.py:448-496, and the num_sup supplement
+    sample utils.py:512-520), consumed in document order. transformers
+    set_seed seeds the process-global ``random``; ``random.Random(seed)``
+    is the same generator, so outputs are example-identical to a reference
+    run at the same seed with is_shuffle=False.
+
+    This is the sequential COMPAT mode (a global RNG threaded through
+    documents cannot be partitioned); the distributed default stays the
+    hash-based doccano_to_uie. Scope: plain entity labels (no "##" aspect
+    separator) — the documented engine surface.
+
+    rows: [{doc_id?, text, entities: [{id,label,start_offset,end_offset}],
+    relations: [{from_id,to_id,type}]}] in file order. Returns
+    (entity_examples, relation_examples), each a list of
+    {"content", "result_list", "prompt"} in reference emission order
+    (positives then negatives)."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+
+    texts = []
+    entity_examples, relation_examples = [], []
+    entity_prompts, relation_prompts = [], []
+    entity_label_set: list = []   # insertion-ordered unique, like the ref
+    entity_name_set: list = []
+    predicate_set: list = []
+    subject_goldens, inverse_relation_list, predicate_list = [], [], []
+
+    for items in rows:
+        text = items["text"]
+        entities = items.get("entities") or []
+        relations = items.get("relations") or []
+        texts.append(text)
+
+        entity_example_map: dict = {}
+        entity_map: dict = {}
+        entity_prompt = []
+        for entity in entities:
+            name = text[entity["start_offset"]:entity["end_offset"]]
+            entity_map[entity["id"]] = {
+                "name": name, "start": entity["start_offset"],
+                "end": entity["end_offset"],
+            }
+            label = entity["label"]
+            result = {"text": name, "start": entity["start_offset"],
+                      "end": entity["end_offset"]}
+            if label not in entity_example_map:
+                entity_example_map[label] = {
+                    "content": text, "result_list": [result], "prompt": label,
+                }
+            else:
+                entity_example_map[label]["result_list"].append(result)
+            if label not in entity_label_set:
+                entity_label_set.append(label)
+            if name not in entity_name_set:
+                entity_name_set.append(name)
+            entity_prompt.append(label)
+        entity_examples.append(list(entity_example_map.values()))
+        entity_prompts.append(entity_prompt)
+
+        subject_golden: list = []
+        relation_example_map: dict = {}
+        relation_prompt, inverse_relation, predicates = [], [], []
+        for relation in relations:
+            predicate = relation["type"]
+            s = entity_map[relation["from_id"]]
+            o = entity_map[relation["to_id"]]
+            if schema_lang == "ch":
+                prompt = s["name"] + "的" + predicate
+                inverse_negative = o["name"] + "的" + predicate
+            else:
+                prompt = predicate + " of " + s["name"]
+                inverse_negative = predicate + " of " + o["name"]
+            if s["name"] not in subject_golden:
+                subject_golden.append(s["name"])
+            result = {"text": o["name"], "start": o["start"], "end": o["end"]}
+            inverse_relation.append(inverse_negative)
+            predicates.append(predicate)
+            if prompt not in relation_example_map:
+                relation_example_map[prompt] = {
+                    "content": text, "result_list": [result], "prompt": prompt,
+                }
+            else:
+                relation_example_map[prompt]["result_list"].append(result)
+            if predicate not in predicate_set:
+                predicate_set.append(predicate)
+            relation_prompt.append(prompt)
+        relation_examples.append(list(relation_example_map.values()))
+        relation_prompts.append(relation_prompt)
+        subject_goldens.append(subject_golden)
+        inverse_relation_list.append(inverse_relation)
+        predicate_list.append(predicates)
+
+    # stage 1: entity negatives (add_entity_negative_example semantics)
+    positive_examples, negative_examples = [], []
+    for i, prompt in enumerate(entity_prompts):
+        redundants = sorted(set(entity_label_set) ^ set(prompt))
+        num_positive = len(entity_examples[i])
+        if num_positive != 0:
+            actual_ratio = math.ceil(len(redundants) / num_positive)
+        else:
+            num_positive, actual_ratio = 1, 0
+        if actual_ratio <= negative_ratio or negative_ratio == -1:
+            idxs = list(range(len(redundants)))
+        else:
+            idxs = rng.sample(range(len(redundants)),
+                              negative_ratio * num_positive)
+        for idx in idxs:
+            negative_examples.append(
+                {"content": texts[i], "result_list": [],
+                 "prompt": redundants[idx]}
+            )
+        positive_examples.extend(entity_examples[i])
+    all_entity_examples = (
+        positive_examples + negative_examples if positive_examples else []
+    )
+
+    # stage 2: relation negatives (utils.py:440-525 semantics)
+    def add_relation_negatives(redundants, text, num_positive, ratio):
+        if num_positive != 0:
+            actual_ratio = math.ceil(len(redundants) / num_positive)
+        else:
+            num_positive, actual_ratio = 1, 0
+        all_idxs = list(range(len(redundants)))
+        if actual_ratio <= ratio or ratio == -1:
+            idxs, rest_idxs = all_idxs, []
+        else:
+            idxs = rng.sample(range(len(redundants)), ratio * num_positive)
+            rest_idxs = list(set(all_idxs) ^ set(idxs))
+        mk = lambda idx: {"content": text, "result_list": [],  # noqa: E731
+                          "prompt": redundants[idx]}
+        return [mk(i) for i in idxs], [mk(i) for i in rest_idxs]
+
+    all_relation_examples = []
+    if predicate_set:
+        positive_examples, negative_examples = [], []
+        per_n_ratio = negative_ratio // 3
+        for i, text in enumerate(texts):
+            negative_example, collects = [], []
+            num_positive = len(relation_examples[i])
+            redundants1 = inverse_relation_list[i]
+            redundants2 = []
+            if predicate_list[i]:
+                nonentity_list = sorted(
+                    set(entity_name_set) ^ set(subject_goldens[i]))
+                if schema_lang == "ch":
+                    redundants2 = [
+                        ne + "的"
+                        + predicate_list[i][rng.randrange(len(predicate_list[i]))]
+                        for ne in nonentity_list
+                    ]
+                else:
+                    redundants2 = [
+                        predicate_list[i][rng.randrange(len(predicate_list[i]))]
+                        + " of " + ne for ne in nonentity_list
+                    ]
+            redundants3 = []
+            if subject_goldens[i]:
+                non_ent_label_list = sorted(
+                    set(entity_label_set) ^ set(entity_prompts[i]))
+                if schema_lang == "ch":
+                    redundants3 = [
+                        subject_goldens[i][rng.randrange(len(subject_goldens[i]))]
+                        + "的" + nl for nl in non_ent_label_list
+                    ]
+                else:
+                    redundants3 = [
+                        nl + " of "
+                        + subject_goldens[i][rng.randrange(len(subject_goldens[i]))]
+                        for nl in non_ent_label_list
+                    ]
+            for redundants in (redundants1, redundants2, redundants3):
+                added, rest = add_relation_negatives(
+                    redundants, texts[i], num_positive, per_n_ratio)
+                negative_example.extend(added)
+                collects.extend(rest)
+            num_sup = num_positive * negative_ratio - len(negative_example)
+            if num_sup > 0 and collects:
+                if num_sup > len(collects):
+                    idxs = list(range(len(collects)))
+                else:
+                    idxs = rng.sample(range(0, len(collects)), num_sup)
+                for idx in idxs:
+                    negative_example.append(collects[idx])
+            positive_examples.extend(relation_examples[i])
+            negative_examples.extend(negative_example)
+        all_relation_examples = positive_examples + negative_examples
+    return all_entity_examples, all_relation_examples
+
+
 def doccano_to_uie(doccano: DataFrame, negative_ratio: int = 3) -> DataFrame:
     """doccano ext export -> UIE examples
     (doc_id, prompt, content, result_list array<struct<text,start,end>>,

@@ -97,3 +97,75 @@ def test_a3_span_eval_join(spark):
         [(0, 1, 3), (0, 8, 9), (1, 2, 10)], "ex long, start long, end long")
     m = micro_prf(pred, gold, ["ex", "start", "end"])
     assert m["tp"] == 2 and m["n_pred"] == 3 and m["n_gold"] == 3
+
+
+def test_convert_ext_examples_compat_matches_reference():
+    """Differential parity for the seeded negative-sampling COMPAT mode:
+    run the REFERENCE convert_ext_examples itself (exec'd from
+    /root/reference/fastie/data/uie/utils.py with tqdm/logger stubbed — no
+    code copied) against convert_ext_examples_compat at the same seed and
+    assert example-identical output, sampling paths included."""
+    import json
+    import random
+
+    from fastie_spark.etl import convert_ext_examples_compat
+
+    src = open("/root/reference/fastie/data/uie/utils.py").read()
+    src = src.replace("from tqdm import tqdm", "")
+    src = src.replace(
+        "from ...extras import get_logger",
+        "get_logger = lambda name: type('L', (), "
+        "{'info': staticmethod(lambda *a, **k: None)})",
+    )
+
+    class _Tqdm:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def update(self, n=1):
+            pass
+
+    ns = {"__name__": "ref_uie_utils", "tqdm": _Tqdm}
+    exec(src, ns)  # noqa: S102 - running the read-only reference, not ours
+    ref_convert = ns["convert_ext_examples"]
+
+    # many labels + few positives per doc => actual_ratio > negative_ratio,
+    # so random.sample fires in both stages; relations exercise
+    # redundants1/2/3 and the num_sup supplement path
+    labels = [f"L{i}" for i in range(12)]
+    docs = []
+    for d in range(6):
+        text = "".join(f"e{d}{j}" for j in range(4))
+        ents = [
+            {"id": j, "label": labels[(d * 3 + j) % 12],
+             "start_offset": 3 * j, "end_offset": 3 * j + 3}
+            for j in range(4)
+        ]
+        rels = []
+        if d % 2 == 0:
+            rels = [
+                {"id": 100 + d, "from_id": 0, "to_id": 1, "type": "r_a"},
+                {"id": 200 + d, "from_id": 2, "to_id": 3, "type": f"r_{d}"},
+            ]
+        docs.append({"text": text, "entities": ents, "relations": rels})
+
+    raw_lines = [json.dumps(doc, ensure_ascii=False) for doc in docs]
+    random.seed(1000)  # what transformers set_seed(1000) does to `random`
+    ref_ent, ref_rel, ref_cls = ref_convert(raw_lines, negative_ratio=3)
+
+    got_ent, got_rel = convert_ext_examples_compat(
+        docs, negative_ratio=3, seed=1000)
+    assert ref_cls == []
+    assert got_ent == ref_ent
+    assert got_rel == ref_rel
+    # sanity: sampling actually triggered (negatives were capped)
+    n_neg = sum(1 for e in got_ent if not e["result_list"])
+    assert 0 < n_neg < sum(
+        1 for d in docs for _ in range(12)
+    )  # strictly fewer than the full redundant universe
