@@ -318,33 +318,35 @@ UIE_ROW_SCHEMA = (
 )
 
 
-def _uie_stage_fn(vocab: Vocab, max_prompt: str, max_length: int,
+def _uie_level_fn(vocab: Vocab, maxp_by_path: dict, max_length: int,
                   split_sentence: bool, position_prob: float):
+    """One fused python stage for a WHOLE BFS level: rows carry their node
+    path, and the per-node lexicographic-max prompt (the reference
+    max_predict_len quirk) is looked up from the broadcast-sized
+    maxp_by_path dict — node count never adds stages or jobs."""
     def fn(batches):
         import pandas as pd
 
         scorer = UIEScorer(vocab, max_length)
         for pdf in batches:
             rows = []
-            for url, text, prompt, parent in zip(
-                pdf["url"], pdf["text"], pdf["prompt"], pdf["parent"]
+            for url, text, prompt, parent, path in zip(
+                pdf["url"], pdf["text"], pdf["prompt"], pdf["parent"],
+                pdf["path"]
             ):
-                # batch-level max_predict_len: the node-global lexicographic
-                # max prompt length is passed in from the driver, so ONE
-                # predict per row reproduces the reference batch semantics
                 res = single_stage_predict(
                     [{"text": text, "prompt": prompt}],
                     scorer, max_length, split_sentence, position_prob,
-                    max_prompt_len=len(max_prompt),
+                    max_prompt_len=len(maxp_by_path[path]),
                 )[0]
                 for r in res:
                     rows.append(
                         (url, parent, r.get("text"), r.get("start"),
-                         r.get("end"), r["probability"])
+                         r.get("end"), r["probability"], path)
                     )
             yield pd.DataFrame(
                 rows, columns=["url", "parent", "span", "start", "end",
-                               "probability"],
+                               "probability", "path"],
             )
 
     return fn
@@ -367,18 +369,39 @@ def _dbc2sbc_col(col):
 def run_uie_spark(spark, pages, vocab: Vocab, schema,
                   max_length: int = MAX_LENGTH, split_sentence: bool = False,
                   position_prob: float = POSITION_PROB,
-                  is_english: bool = False):
+                  is_english: bool = False, work_dir: str | None = None):
     """pages(url, text) + ad-hoc schema -> flat result rows
     (url, path, parent, span, start, end, probability). is_english switches
     the child prompt composition to the reference English mode
     (decode_utils.py:251-263): '{name} of {span}', with the cls-option
-    splice '{prefix} of {span} {cls_options}' for cls nodes."""
+    splice '{prefix} of {span} {cls_options}' for cls nodes.
+
+    Scale shape: the schema tree is traversed LEVEL by level. All of a
+    level's per-node max-prompt lengths come from ONE aggregation job over
+    the union of the level's prompt frames (root-level prompts are literal
+    constants and need no job at all), and each level's extraction output
+    is checkpointed as a parquet table under ``work_dir`` and read back —
+    reliable-storage lineage truncation, so a lost executor replays from
+    the files (a localCheckpoint would strand the corpus-sized result on
+    executor-local storage) and child levels never recompute parent python
+    stages. Jobs per level: 1 max-prompt agg (non-root levels) + 1 write —
+    independent of the node count (gated in tests/test_uie.py).
+
+    work_dir: directory for the per-level checkpoints (on a cluster: a
+    shared path, like any checkpoint location). Default: a fresh temp dir;
+    the returned DataFrame reads from it, so remove it only after the
+    result is consumed."""
+    import os
+    import tempfile
+
     from pyspark.sql import functions as F
 
     if isinstance(schema, (dict, str)):
         schema = [schema]
     tree = build_tree(schema)
     texts = pages.select("url", "text")
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="uie_bfs_")
 
     def compose_child_prompt(child_name: str):
         """Column expr for the composed child prompt from F.col('span'),
@@ -396,55 +419,87 @@ def run_uie_spark(spark, pages, vocab: Vocab, schema,
             raw = F.concat(F.col("span"), F.lit("的" + child_name))
         return _dbc2sbc_col(raw)
 
-    out_parts = []
-    # queue entries: (node, path, prompts_df(url, prompt, parent) | None)
-    queue = [(c, c.name, None) for c in tree.children]
-    while queue:
-        node, path, prompts_df = queue.pop(0)
-        if prompts_df is None:
-            level = texts.withColumn(
-                "prompt", F.lit(dbc2sbc(node.name))
-            ).withColumn("parent", F.lit(None).cast("string"))
-        else:
-            level = prompts_df.join(texts, "url").select(
-                "url", "text", "prompt", "parent"
+    out_schema = UIE_ROW_SCHEMA + ", path string"
+    level_dirs: list = []
+    # level state: node_by_path for subtree bookkeeping; root prompts are
+    # literal constants (their max over a constant column is the constant),
+    # child prompts arrive as ONE union frame (url, prompt, parent, path)
+    node_by_path = {c.name: c for c in tree.children}
+    root_consts = {c.name: dbc2sbc(c.name) for c in tree.children}
+    child_union = None
+    level_idx = 0
+    while node_by_path:
+        # ---- assemble the level frame (url, text, prompt, parent, path)
+        frame = None
+        if root_consts:
+            for path, const in root_consts.items():
+                part = texts.select(
+                    "url", "text", F.lit(const).alias("prompt"),
+                    F.lit(None).cast("string").alias("parent"),
+                    F.lit(path).alias("path"),
+                )
+                frame = part if frame is None else frame.unionByName(part)
+        maxp_by_path = dict(root_consts)
+        if child_union is not None:
+            joined = child_union.join(texts, "url").select(
+                "url", "text", "prompt", "parent", "path"
             )
-        maxp_row = level.agg(F.max("prompt").alias("m")).collect()
-        maxp = maxp_row[0]["m"]
-        if maxp is None:
-            continue
-        out = level.mapInPandas(
-            _uie_stage_fn(vocab, maxp, max_length, split_sentence,
+            frame = joined if frame is None else frame.unionByName(joined)
+            # ONE job: every node's lexicographic-max prompt at once
+            maxp_by_path.update({
+                r["path"]: r["m"]
+                for r in joined.groupBy("path")
+                .agg(F.max("prompt").alias("m")).collect()
+            })
+        # nodes whose prompt frame is empty -> reference skips node + subtree
+        kept = {p: n for p, n in node_by_path.items() if p in maxp_by_path}
+        if not kept:
+            break
+        # ---- one fused python stage + one checkpoint write for the level.
+        # The parquet write is reliable-storage lineage truncation: child
+        # levels and the final union replay from files (a localCheckpoint
+        # would strand the corpus-sized result on executor-local storage).
+        out = frame.mapInPandas(
+            _uie_level_fn(vocab, maxp_by_path, max_length, split_sentence,
                           position_prob),
-            schema=UIE_ROW_SCHEMA,
-        ).withColumn("path", F.lit(path)).persist()
-        out_parts.append(out)
-        if node.children:
-            child_base = out.select(
+            schema=out_schema,
+        )
+        ldir = os.path.join(work_dir, f"level_{level_idx}")
+        out.write.mode("overwrite").parquet(ldir)
+        level_out = spark.read.schema(out_schema).parquet(ldir)
+        level_dirs.append(ldir)
+        # ---- compose next level's prompt frames from the checkpointed rows
+        next_nodes: dict = {}
+        child_union = None
+        for path, node in kept.items():
+            if not node.children:
+                continue
+            child_base = level_out.filter(F.col("path") == path).select(
                 "url", F.col("span").alias("parent"), "span"
             )
             for child in node.children:
-                child_prompts = child_base.select(
+                cpath = f"{path}/{child.name}"
+                next_nodes[cpath] = child
+                part = child_base.select(
                     "url",
                     compose_child_prompt(child.name).alias("prompt"),
                     "parent",
+                    F.lit(cpath).alias("path"),
                 )
-                queue.append((child, f"{path}/{child.name}", child_prompts))
+                child_union = (
+                    part if child_union is None
+                    else child_union.unionByName(part)
+                )
+        node_by_path = next_nodes
+        root_consts = {}
+        level_idx += 1
 
-    if not out_parts:
-        return spark.createDataFrame([], UIE_ROW_SCHEMA + ", path string")
-    result = out_parts[0]
-    for p in out_parts[1:]:
-        result = result.unionByName(p)
-    # materialize once, then release every per-node cache (they are only
-    # needed while the BFS composes child prompts) — repeated calls in a
-    # long-lived driver must not accumulate storage
-    result = result.select(
+    if not level_dirs:
+        return spark.createDataFrame([], out_schema)
+    result = spark.read.schema(out_schema).parquet(*level_dirs)
+    return result.select(
         "url", "path", "parent", "span", "start", "end", "probability"
-    ).localCheckpoint(eager=True)
-    for p in out_parts:
-        p.unpersist()
-    return result
+    )
 
 
 def flatten_oracle_results(texts_urls, results, tree_schema) -> list:

@@ -180,3 +180,26 @@ def test_uie_spark_english_mode_parity(spark):
     assert any(
         k[1] == "org/sentiment[positive,negative]" for k in want
     )  # cls splice fired
+
+
+def test_uie_bfs_job_count_independent_of_node_count(no_aqe, pages_df, vocab):
+    """Scale gate for the level-wise BFS: Spark job count must NOT grow
+    with the number of schema nodes (the old per-node formulation ran a
+    max-prompt collect per node). Per level: one max-prompt agg (non-root
+    levels only) + one checkpoint write; root prompts are literals."""
+    from conftest import count_jobs
+
+    spark = no_aqe
+    subj, pred, _ = vocab.relation_vocab[0]
+    lbl = dict(vocab.entity_vocab)[subj]
+    other = next(l for _, l in vocab.entity_vocab if l != lbl)
+
+    def jobs(schema):
+        return count_jobs(
+            spark,
+            lambda: run_uie_spark(spark, pages_df, vocab, schema).collect(),
+        )
+
+    narrow = jobs([{lbl: [pred]}])
+    wide = jobs([{lbl: [pred, "虚构关系甲", "虚构关系乙"]}, other])
+    assert wide == narrow, (narrow, wide)
