@@ -237,6 +237,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return event_prf_df(pred, gold)
 
     q["event_prf"] = event_prf
+
+    def image_stats(s, d):
+        """BinaryType driver query through the REAL image codecs: decode
+        BMP/PPM payloads (multimodal.decode_media) -> per-image dims +
+        integer-exact brightness stats. Input is the committed deterministic
+        media fixture (regenerated byte-identically if missing) — media has
+        no sf-scaled testdata table, so the query is sf-independent; the
+        DuckDB oracle parses the same container bytes with blob-hex byte
+        arithmetic."""
+        from fastie_spark.multimodal import ensure_media_parquet, image_features
+
+        media = s.read.parquet(ensure_media_parquet())
+        return image_features(media).select(
+            "media_id", "width", "height", "n_pixels",
+            F.round("mean_brightness", 6).alias("mean_brightness"),
+            F.round("std_brightness", 6).alias("std_brightness"),
+        )
+
+    q["image_stats"] = image_stats
+
+    def audio_stats(s, d):
+        """BinaryType driver query through the REAL audio codec: RIFF/WAV
+        PCM decode -> sample_rate, n_samples, whole-clip RMS (integer-sum,
+        oracle-exact). Same committed media fixture as image_stats."""
+        from fastie_spark.multimodal import audio_stats as audio_stats_op
+        from fastie_spark.multimodal import ensure_media_parquet
+
+        media = s.read.parquet(ensure_media_parquet())
+        return audio_stats_op(media).select(
+            "media_id", "sample_rate", "n_samples",
+            F.round("rms", 6).alias("rms"),
+        )
+
+    q["audio_stats"] = audio_stats
     q["extract_mentions"] = lambda s, d: _kg(s, d)["mentions"]
     q["extract_triples"] = lambda s, d: _kg(s, d)["triples"]
     q["extract_events"] = lambda s, d: _kg(s, d)["events"]
@@ -675,6 +709,111 @@ JOIN pred_ids p ON p.pred = r.pred
 )
 
 
+# image_stats / audio_stats: the BinaryType oracles parse the REAL container
+# bytes in SQL — hex(payload) sliced into per-byte values (strpos hex-digit
+# arithmetic), then: BMP dims/offset from the little-endian header words,
+# PPM dims from the canonical "P6\n{2d} {2d}\n255\n" header the fixture
+# writes (the Spark-side parser is general; the oracle leans on the
+# fixture's canonical form), WAV sample_rate/data size from the RIFF header
+# and int16 LE sample reconstruction. Stats are integer sums divided in
+# double — bit-identical to the numpy formulation in multimodal.py.
+def _media_src() -> str:
+    from fastie_spark.multimodal import ensure_media_parquet
+
+    return ensure_media_parquet()
+
+
+def _hex_bytes_cte(kind: str) -> str:
+    return f"""
+m AS (
+  SELECT media_id, hex(payload) AS hx, octet_length(payload) AS len
+  FROM read_parquet('{_media_src()}') WHERE kind = '{kind}'
+),
+b AS (
+  SELECT media_id, g.i,
+         (strpos('0123456789ABCDEF', substr(hx, cast(2*g.i-1 AS INT), 1)) - 1) * 16
+         + strpos('0123456789ABCDEF', substr(hx, cast(2*g.i AS INT), 1)) - 1 AS v
+  FROM m, unnest(generate_series(1, len)) AS g(i)
+)
+"""
+
+
+def _image_stats_sql() -> str:
+    return "WITH " + _hex_bytes_cte("image") + r""",
+hdr AS (
+  SELECT m.media_id, substr(m.hx, 1, 4) = '424D' AS is_bmp,
+    cast(sum(CASE WHEN substr(m.hx,1,4)='424D' THEN
+          CASE b.i WHEN 19 THEN b.v WHEN 20 THEN b.v*256
+                   WHEN 21 THEN b.v*65536 WHEN 22 THEN b.v*16777216 END
+        ELSE CASE b.i WHEN 4 THEN (b.v-48)*10 WHEN 5 THEN b.v-48 END END)
+      AS INT) AS w,
+    cast(sum(CASE WHEN substr(m.hx,1,4)='424D' THEN
+          CASE b.i WHEN 23 THEN b.v WHEN 24 THEN b.v*256
+                   WHEN 25 THEN b.v*65536 WHEN 26 THEN b.v*16777216 END
+        ELSE CASE b.i WHEN 7 THEN (b.v-48)*10 WHEN 8 THEN b.v-48 END END)
+      AS INT) AS h,
+    cast(sum(CASE WHEN substr(m.hx,1,4)='424D' THEN
+          CASE b.i WHEN 11 THEN b.v WHEN 12 THEN b.v*256
+                   WHEN 13 THEN b.v*65536 WHEN 14 THEN b.v*16777216 END
+        ELSE CASE WHEN b.i = 1 THEN 13 END END) AS BIGINT) AS off
+  FROM m JOIN b USING (media_id)
+  WHERE b.i <= 26
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT h.media_id, h.w, h.h AS ht,
+         cast(sum(b.v) AS BIGINT) AS s,
+         cast(sum(b.v * b.v) AS BIGINT) AS sq,
+         cast(count(*) AS BIGINT) AS n
+  FROM hdr h JOIN b ON b.media_id = h.media_id
+       AND b.i BETWEEN h.off + 1 AND h.off + 3 * h.w * h.h
+  GROUP BY 1, 2, 3
+)
+SELECT media_id, w AS width, ht AS height,
+       cast(w * ht AS BIGINT) AS n_pixels,
+       round(s / cast(n AS DOUBLE), 6) AS mean_brightness,
+       round(sqrt(sq / cast(n AS DOUBLE)
+                  - (s / cast(n AS DOUBLE)) * (s / cast(n AS DOUBLE))), 6)
+         AS std_brightness
+FROM stats
+"""
+
+
+def _audio_stats_sql() -> str:
+    return "WITH " + _hex_bytes_cte("audio") + r""",
+hdr AS (
+  SELECT media_id,
+    cast(sum(CASE i WHEN 25 THEN v WHEN 26 THEN v*256
+                    WHEN 27 THEN v*65536 WHEN 28 THEN v*16777216 END)
+      AS INT) AS sr,
+    cast(sum(CASE i WHEN 41 THEN v WHEN 42 THEN v*256
+                    WHEN 43 THEN v*65536 WHEN 44 THEN v*16777216 END)
+      AS BIGINT) AS dsize
+  FROM b WHERE i BETWEEN 25 AND 44 GROUP BY 1
+),
+raw AS (
+  SELECT b.media_id, (b.i - 45) // 2 AS k,
+         cast(sum(CASE WHEN (b.i - 45) % 2 = 0 THEN b.v ELSE b.v * 256 END)
+           AS BIGINT) AS u
+  FROM b JOIN hdr USING (media_id)
+  WHERE b.i >= 45 AND b.i < 45 + hdr.dsize
+  GROUP BY 1, 2
+),
+sv AS (
+  SELECT media_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM raw
+),
+astat AS (
+  SELECT media_id, cast(count(*) AS BIGINT) AS n,
+         cast(sum(s * s) AS BIGINT) AS sq
+  FROM sv GROUP BY 1
+)
+SELECT a.media_id, h.sr AS sample_rate, a.n AS n_samples,
+       round(sqrt(sq / cast(n AS DOUBLE)) / 32768.0, 6) AS rms
+FROM astat a JOIN hdr h USING (media_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o = {name: sql for name, (_, sql) in REGISTRY.items() if sql}
     o["classify_docs"] = _CLASSIFY_SQL
@@ -688,4 +827,6 @@ def oracle_sql() -> dict[str, str]:
     o["decoder_coverage"] = _DECODER_COVERAGE_SQL
     o["uie_extract"] = _UIE_SQL
     o["event_prf"] = _EVENT_PRF_SQL
+    o["image_stats"] = _image_stats_sql()
+    o["audio_stats"] = _audio_stats_sql()
     return o

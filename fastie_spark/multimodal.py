@@ -3,15 +3,22 @@
 No counterpart in the reference (FastIE is text-only); this is the
 training-data-pipeline surface the task brief mandates. The Spark-side
 plumbing — schemas, Arrow batch shapes, explode semantics, partitioning —
-is real and tested; the actual codec step is STUBBED: real decoders (PIL /
-libav) are not in this container, so ``decode_image``/``decode_audio``
-parse a deterministic FAKE container format (header + seeded payload) and
-raise ``NotImplementedError`` for real formats. Swapping in a real codec
-changes only the marked inner functions; every dataframe contract stays.
+is real AND the codecs are real, pure-python parsers of real formats (no
+image/audio libs exist in this container, and none are needed for these):
 
-Fake container layout (big-endian):
-  b"FMM0" | kind:1 (i/a/v) | width:u16 | height:u16 | sample_rate:u32 |
-  n_frames:u16 | payload bytes (seeded)
+  image: BMP  (24-bit uncompressed BI_RGB, bottom-up padded rows)
+         PPM  (P6 binary RGB) / PGM (P5 binary grayscale)
+  audio: WAV  (RIFF/WAVE canonical PCM, 8/16-bit mono)
+  video: Y4M  (YUV4MPEG2, C444 planar frames)
+  plus the legacy FMM0 fake container kept for synthetic-payload tests.
+
+Compressed containers (JPEG/PNG/MP3/MP4) still raise NotImplementedError —
+entropy decoding is a genuine lib dependency; swapping PIL/libav in changes
+only ``decode_media``, every DataFrame contract stays.
+
+Feature math is integer-exact: means/RMS come from integer byte/sample sums
+divided in double, so the Spark operators and the DuckDB byte-slicing
+oracles (__spark_entry__ image_stats / audio_stats) are bit-identical.
 """
 
 from __future__ import annotations
@@ -27,11 +34,183 @@ MAGIC = b"FMM0"
 
 MEDIA_DDL = "media_id long, kind string, payload binary"
 META_DDL = (
-    "media_id long, kind string, width int, height int, sample_rate int, "
-    "n_frames int, payload_len long"
+    "media_id long, kind string, fmt string, width int, height int, "
+    "sample_rate int, n_frames int, payload_len long"
 )
 
 
+# ---------------------------------------------------------------------------
+# real codecs — encoders
+# ---------------------------------------------------------------------------
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP (BI_RGB): bottom-up
+    rows, BGR byte order, rows padded to 4 bytes."""
+    h, w, _ = px.shape
+    row_len = (3 * w + 3) // 4 * 4
+    img_size = row_len * h
+    header = (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                      2835, 2835, 0, 0)
+    )
+    rows = []
+    pad = b"\x00" * (row_len - 3 * w)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(px[y, :, ::-1].tobytes() + pad)  # RGB -> BGR
+    return header + b"".join(rows)
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6)."""
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def encode_pgm(px: np.ndarray) -> bytes:
+    """(h, w) uint8 -> binary PGM (P5)."""
+    h, w = px.shape
+    return f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples -> canonical 44-byte-header RIFF/WAVE PCM."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def encode_y4m(frames: list, w: int, h: int, fps: int = 25) -> bytes:
+    """list of (h, w, 3) uint8 YUV frames -> YUV4MPEG2 C444 stream."""
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode()
+    parts = [head]
+    for f in frames:
+        # C444 planar: full-resolution Y, U, V planes
+        parts.append(b"FRAME\n" + f[:, :, 0].tobytes()
+                     + f[:, :, 1].tobytes() + f[:, :, 2].tobytes())
+    return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# real codecs — decoders
+# ---------------------------------------------------------------------------
+def decode_bmp(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack("<I", payload[10:14])[0]
+    w, h = struct.unpack("<ii", payload[18:26])[0:2]
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP (got bpp={bpp})")
+    row_len = (3 * w + 3) // 4 * 4
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * w, offset=off + y * row_len
+        ).reshape(w, 3)
+        px[h - 1 - y] = row[:, ::-1]  # BGR -> RGB, bottom-up -> top-down
+    return px
+
+
+def _pnm_header(payload: bytes):
+    # P6/P5 header: magic, whitespace-separated w, h, maxval; comments start
+    # with '#'. Returns (w, h, data_offset).
+    fields, i, n = [], 2, len(payload)
+    while len(fields) < 3 and i < n:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    return fields[0], fields[1], i + 1  # single whitespace after maxval
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    w, h, off = _pnm_header(payload)
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=3 * w * h, offset=off
+    ).reshape(h, w, 3)
+
+
+def decode_pgm(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"P5":
+        raise ValueError("not a P5 PGM")
+    w, h, off = _pnm_header(payload)
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=w * h, offset=off
+    ).reshape(h, w)
+
+
+def decode_wav(payload: bytes):
+    """-> (sample_rate, int16 samples). Walks RIFF chunks (fmt may not be
+    directly followed by data in real files)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE")
+    pos, sr, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, _ch, sr = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1:
+                raise NotImplementedError(f"only PCM WAV (fmt={fmt_tag})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:  # 8-bit WAV is unsigned, centered at 128
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                   - 128) * 256
+    else:
+        raise NotImplementedError(f"only 8/16-bit PCM (got {bits})")
+    return int(sr), samples
+
+
+def decode_y4m(payload: bytes):
+    """-> (w, h, list of frame bytes: planar YUV C444, 3*w*h each)."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii")
+    if not head.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    for tok in head.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C" and tok[1:] not in ("444",):
+            raise NotImplementedError(f"only C444 y4m (got {tok})")
+    flen = 3 * w * h
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        frames.append(payload[fnl + 1 : fnl + 1 + flen])
+        pos = fnl + 1 + flen
+    return w, h, frames
+
+
+# ---------------------------------------------------------------------------
+# legacy FMM0 fake container (kept: synthetic-payload plumbing tests)
+# ---------------------------------------------------------------------------
 def pack_media(media_id: int, kind: str, width: int, height: int,
                sample_rate: int, n_frames: int, seed: int = 42) -> bytes:
     rng = np.random.default_rng((seed, media_id))
@@ -64,29 +243,114 @@ def build_media_rows(n: int = 60, seed: int = 42) -> list[dict]:
     return rows
 
 
-def _parse_header(payload: bytes):
-    if payload[:4] != MAGIC:
-        # Real containers (JPEG/WAV/MP4...) need real codecs — STUB:
-        raise NotImplementedError(
-            "real media decoding is stubbed in this environment; "
-            "only the FMM0 fake container is supported"
-        )
-    kind = {b"i": "image", b"a": "audio", b"v": "video"}[payload[4:5]]
-    w, h, sr, nf = struct.unpack(">HHIH", payload[5:15])
-    return kind, w, h, sr, nf, payload[15:]
+def build_real_media_rows(n: int = 90, seed: int = 42) -> list[dict]:
+    """Deterministic REAL-format payloads: BMP + PPM images, WAV clips,
+    Y4M videos. Widths are multiples of 4 so BMP rows need no padding (the
+    SQL oracle then reads a contiguous pixel block)."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng((seed, i, 7))
+        m = i % 3
+        if m == 0:  # image
+            w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_bmp(px) if (i // 3) % 2 == 0 else encode_ppm(px)
+            rows.append({"media_id": i, "kind": "image", "payload": payload})
+        elif m == 1:  # audio
+            sr = 8000 + (i % 2) * 8000
+            samples = rng.integers(-20000, 20000, size=sr // 4,
+                                   dtype=np.int16)
+            rows.append({"media_id": i, "kind": "audio",
+                         "payload": encode_wav(samples, sr)})
+        else:  # video
+            w, h, nf = 16, 12, 6 + (i % 3) * 2
+            frames = [
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                for _ in range(nf)
+            ]
+            rows.append({"media_id": i, "kind": "video",
+                         "payload": encode_y4m(frames, w, h)})
+    return rows
 
 
+# ---------------------------------------------------------------------------
+# unified decode layer (the ONLY place a new codec plugs in)
+# ---------------------------------------------------------------------------
+def decode_media(payload: bytes) -> dict:
+    """Sniff the container magic and decode. Returns a dict with kind, fmt,
+    width, height, sample_rate, n_frames plus the decoded payload (pixels /
+    samples / frames). Unknown compressed formats raise NotImplementedError."""
+    p = bytes(payload)
+    if p[:4] == MAGIC:
+        kind = {b"i": "image", b"a": "audio", b"v": "video"}[p[4:5]]
+        w, h, sr, nf = struct.unpack(">HHIH", p[5:15])
+        body = p[15:]
+        out = {"kind": kind, "fmt": "fmm0", "width": w, "height": h,
+               "sample_rate": sr, "n_frames": nf, "n_bytes": len(body)}
+        if kind == "image":
+            out["pixels"] = np.frombuffer(
+                body, dtype=np.uint8, count=w * h
+            ).reshape(h, w)
+        elif kind == "audio":
+            # fake container: uint8 stream centered at 128 -> int16 scale
+            out["samples"] = (
+                np.frombuffer(body, dtype=np.uint8).astype(np.int16) - 128
+            ) * 256
+        else:
+            flen = max(len(body) // nf, 1) if nf else len(body)
+            out["frames"] = [
+                body[i * flen : (i + 1) * flen] for i in range(nf)
+            ]
+        return out
+    if p[:2] == b"BM":
+        px = decode_bmp(p)
+        return {"kind": "image", "fmt": "bmp", "width": px.shape[1],
+                "height": px.shape[0], "sample_rate": 0, "n_frames": 0,
+                "n_bytes": px.size, "pixels": px}
+    if p[:2] == b"P6":
+        px = decode_ppm(p)
+        return {"kind": "image", "fmt": "ppm", "width": px.shape[1],
+                "height": px.shape[0], "sample_rate": 0, "n_frames": 0,
+                "n_bytes": px.size, "pixels": px}
+    if p[:2] == b"P5":
+        px = decode_pgm(p)
+        return {"kind": "image", "fmt": "pgm", "width": px.shape[1],
+                "height": px.shape[0], "sample_rate": 0, "n_frames": 0,
+                "n_bytes": px.size, "pixels": px}
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        sr, samples = decode_wav(p)
+        return {"kind": "audio", "fmt": "wav", "width": 0, "height": 0,
+                "sample_rate": sr, "n_frames": 0, "n_bytes": len(samples),
+                "samples": samples}
+    if p[:9] == b"YUV4MPEG2":
+        w, h, frames = decode_y4m(p)
+        return {"kind": "video", "fmt": "y4m", "width": w, "height": h,
+                "sample_rate": 0, "n_frames": len(frames),
+                "n_bytes": sum(map(len, frames)), "frames": frames}
+    # compressed containers (JPEG/PNG/MP3/MP4...) need entropy decoders —
+    # a genuine external-lib boundary, kept explicit:
+    raise NotImplementedError(
+        "unsupported container magic %r; supported: BMP/PPM/PGM raw images, "
+        "RIFF PCM WAV, YUV4MPEG2, FMM0" % p[:4]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (mapInPandas over BinaryType — Arrow batches)
+# ---------------------------------------------------------------------------
 def parse_meta(media: DataFrame) -> DataFrame:
-    """binary -> typed metadata columns (header parse; real plumbing)."""
+    """binary -> typed metadata columns (container header parse)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                kind, w, h, sr, nf, body = _parse_header(bytes(payload))
-                rows.append((int(mid), kind, w, h, sr, nf, len(body)))
+                d = decode_media(payload)
+                rows.append((int(mid), d["kind"], d["fmt"], d["width"],
+                             d["height"], d["sample_rate"], d["n_frames"],
+                             d["n_bytes"]))
             yield pd.DataFrame(
-                rows, columns=["media_id", "kind", "width", "height",
+                rows, columns=["media_id", "kind", "fmt", "width", "height",
                                "sample_rate", "n_frames", "payload_len"],
             )
 
@@ -94,72 +358,86 @@ def parse_meta(media: DataFrame) -> DataFrame:
 
 
 def image_features(media: DataFrame) -> DataFrame:
-    """Decode (stub) + feature-extract: per-image brightness stats.
-    The inner pixel decode is the ONLY stubbed piece."""
+    """Decode + feature-extract: per-image brightness stats over all
+    channel bytes. Integer-sum formulation => bit-identical to the SQL
+    oracle's byte arithmetic (sum/n and sqrt(sumsq/n - mean^2) in double)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                kind, w, h, sr, nf, body = _parse_header(bytes(payload))
-                if kind != "image":
+                d = decode_media(payload)
+                if d["kind"] != "image":
                     continue
-                # STUB decode: bytes -> (h, w) uint8 "pixels"
-                px = np.frombuffer(body, dtype=np.uint8)[: w * h].reshape(h, w)
+                px = d["pixels"]
+                flat = px.reshape(-1).astype(np.int64)
+                n = int(flat.size)
+                s = int(flat.sum())
+                sq = int((flat * flat).sum())
+                mean = s / n
+                var = sq / n - mean * mean
                 rows.append(
-                    (int(mid), float(px.mean()), float(px.std()),
-                     int(px.size))
+                    (int(mid), d["width"], d["height"],
+                     int(px.shape[0] * px.shape[1]), mean,
+                     float(np.sqrt(max(var, 0.0))))
                 )
             yield pd.DataFrame(
-                rows, columns=["media_id", "mean_brightness", "std_brightness",
-                               "n_pixels"],
+                rows, columns=["media_id", "width", "height", "n_pixels",
+                               "mean_brightness", "std_brightness"],
             )
 
     return media.mapInPandas(
-        fn, schema="media_id long, mean_brightness double, "
-                   "std_brightness double, n_pixels long"
+        fn, schema="media_id long, width int, height int, n_pixels long, "
+                   "mean_brightness double, std_brightness double"
     )
 
 
 def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize on the (stub-)decoded pixels; re-packs the
-    fake container so downstream stages see the same binary contract."""
+    """Nearest-neighbor resize on the decoded pixels; re-encodes in the
+    SAME container format so downstream stages see the original contract."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                kind, w, h, sr, nf, body = _parse_header(bytes(payload))
-                if kind != "image":
+                d = decode_media(payload)
+                if d["kind"] != "image":
                     continue
-                px = np.frombuffer(body, dtype=np.uint8)[: w * h].reshape(h, w)
-                yi = (np.arange(out_h) * h // out_h)
-                xi = (np.arange(out_w) * w // out_w)
+                px = d["pixels"]
+                h, w = px.shape[0], px.shape[1]
+                yi = np.arange(out_h) * h // out_h
+                xi = np.arange(out_w) * w // out_w
                 small = px[np.ix_(yi, xi)]
-                header = (MAGIC + b"i"
-                          + struct.pack(">HHIH", out_w, out_h, sr, nf))
-                rows.append((int(mid), header + small.tobytes()))
+                if d["fmt"] == "bmp":
+                    out = encode_bmp(small)
+                elif d["fmt"] == "ppm":
+                    out = encode_ppm(small)
+                elif d["fmt"] == "pgm":
+                    out = encode_pgm(small)
+                else:  # fmm0 grayscale
+                    out = (MAGIC + b"i"
+                           + struct.pack(">HHIH", out_w, out_h,
+                                         d["sample_rate"], d["n_frames"])
+                           + small.tobytes())
+                rows.append((int(mid), out))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return media.mapInPandas(fn, schema="media_id long, payload binary")
 
 
 def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
-    """Video frame sampling: slice the payload into n_frames segments and
-    keep every k-th -> exploded (media_id, frame_idx, frame) rows."""
+    """Video frame sampling: decode the container's frame list and keep
+    every k-th -> exploded (media_id, frame_idx, frame) rows."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                kind, w, h, sr, nf, body = _parse_header(bytes(payload))
-                if kind != "video" or nf == 0:
+                d = decode_media(payload)
+                if d["kind"] != "video" or not d.get("frames"):
                     continue
-                flen = max(len(body) // nf, 1)
-                for fi in range(0, nf, every_k):
-                    rows.append(
-                        (int(mid), fi, body[fi * flen : (fi + 1) * flen])
-                    )
+                for fi in range(0, len(d["frames"]), every_k):
+                    rows.append((int(mid), fi, d["frames"][fi]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return media.mapInPandas(
@@ -168,18 +446,17 @@ def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
 
 
 def audio_features(media: DataFrame, frame_len: int = 400) -> DataFrame:
-    """Framed RMS energy over the (stub-)decoded sample stream -> one
-    array<float> feature vector per clip."""
+    """Framed RMS energy over the decoded sample stream (int16 scale,
+    normalized by 32768) -> one array<double> feature vector per clip."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                kind, w, h, sr, nf, body = _parse_header(bytes(payload))
-                if kind != "audio":
+                d = decode_media(payload)
+                if d["kind"] != "audio":
                     continue
-                x = np.frombuffer(body, dtype=np.uint8).astype(np.float64)
-                x = (x - 128.0) / 128.0
+                x = d["samples"].astype(np.float64) / 32768.0
                 n = len(x) // frame_len
                 rms = [
                     float(np.sqrt(np.mean(x[i * frame_len:(i + 1) * frame_len] ** 2)))
@@ -191,7 +468,68 @@ def audio_features(media: DataFrame, frame_len: int = 400) -> DataFrame:
     return media.mapInPandas(fn, schema="media_id long, rms array<double>")
 
 
-def media_df(spark: SparkSession, n: int = 60, seed: int = 42) -> DataFrame:
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Whole-clip stats from the decoded sample stream: sample_rate,
+    n_samples, full-clip RMS (int16 scale / 32768). Integer-sum RMS =>
+    bit-identical to the SQL oracle's byte arithmetic."""
+    import math
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_media(payload)
+                if d["kind"] != "audio":
+                    continue
+                x = d["samples"].astype(np.int64)
+                n = int(x.size)
+                sq = int((x * x).sum())
+                rms = math.sqrt(sq / n) / 32768.0 if n else 0.0
+                rows.append((int(mid), d["sample_rate"], n, rms))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "n_samples", "rms"],
+            )
+
+    return media.mapInPandas(
+        fn, schema="media_id long, sample_rate int, n_samples long, "
+                   "rms double"
+    )
+
+
+def media_df(spark: SparkSession, n: int = 60, seed: int = 42,
+             real: bool = False) -> DataFrame:
     from .session import local_df
 
-    return local_df(spark, build_media_rows(n, seed), MEDIA_DDL)
+    rows = build_real_media_rows(n, seed) if real else build_media_rows(n, seed)
+    return local_df(spark, rows, MEDIA_DDL)
+
+
+# ---------------------------------------------------------------------------
+# driver-fixture parquet (the BinaryType correctness surface)
+# ---------------------------------------------------------------------------
+MEDIA_FIXTURE_PATH = "/root/repo/tests/fixtures/media.parquet"
+
+
+def ensure_media_parquet(path: str = MEDIA_FIXTURE_PATH, n: int = 90,
+                         seed: int = 42) -> str:
+    """Write the deterministic real-format media table once (committed to
+    the repo; regenerated byte-identically if missing). Both the Spark
+    query and the DuckDB oracle read THIS file, so the comparison covers
+    real container bytes end-to-end."""
+    import os
+
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rows = build_real_media_rows(n, seed)
+        table = pa.table({
+            "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+            "kind": pa.array([r["kind"] for r in rows], pa.string()),
+            "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+        })
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path

@@ -37,6 +37,7 @@ KG_KEYS = [
     "extract_mentions", "extract_triples", "link_triples",
     "canonical_components", "graph_edges", "classify_docs", "spo_convert",
     "extract_events", "decoder_coverage", "uie_extract", "event_prf",
+    "image_stats", "audio_stats",
 ]
 
 

@@ -1,17 +1,28 @@
-"""Multimodal binary-column plumbing: schemas, determinism, explode shapes.
-Codec layer is stubbed (fake FMM0 container); dataframe contracts are real."""
+"""Multimodal binary columns: REAL pure-python codecs (BMP/PPM/PGM, RIFF
+WAV, YUV4MPEG2) + the legacy FMM0 synthetic container; dataframe contracts
+(schemas, determinism, explode shapes) over both."""
 
+import numpy as np
 import pytest
 
 from fastie_spark.multimodal import (
     audio_features,
-    build_media_rows,
+    decode_bmp,
+    decode_media,
+    decode_pgm,
+    decode_ppm,
+    decode_wav,
+    decode_y4m,
+    encode_bmp,
+    encode_pgm,
+    encode_ppm,
+    encode_wav,
+    encode_y4m,
     frame_sample,
     image_features,
     media_df,
     parse_meta,
     resize_image,
-    _parse_header,
 )
 
 
@@ -20,6 +31,65 @@ def media(spark):
     return media_df(spark, n=60).persist()
 
 
+@pytest.fixture(scope="module")
+def real_media(spark):
+    return media_df(spark, n=90, real=True).persist()
+
+
+# ---------------------------------------------------------------- codecs
+def test_bmp_roundtrip_including_padding():
+    rng = np.random.default_rng(1)
+    for w in (5, 6, 8, 13):  # rows with and without 4-byte padding
+        px = rng.integers(0, 256, size=(7, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+def test_pnm_roundtrip_and_comments():
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    assert (decode_pgm(encode_pgm(gray)) == gray).all()
+    # header comments are legal PNM
+    commented = b"P6\n# a comment\n11 9\n255\n" + px.tobytes()
+    assert (decode_ppm(commented) == px).all()
+
+
+def test_wav_roundtrip_and_8bit():
+    rng = np.random.default_rng(3)
+    s = rng.integers(-30000, 30000, size=1234, dtype=np.int16)
+    sr, got = decode_wav(encode_wav(s, 16000))
+    assert sr == 16000 and (got == s).all()
+    # 8-bit unsigned PCM decodes onto the int16 scale
+    import struct
+
+    body = bytes([0, 128, 255])
+    wav8 = (b"RIFF" + struct.pack("<I", 36 + 3) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 3) + body)
+    sr, got = decode_wav(wav8)
+    assert sr == 8000 and list(got) == [-32768, 0, 32512]
+
+
+def test_y4m_roundtrip():
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+              for _ in range(5)]
+    w, h, got = decode_y4m(encode_y4m(frames, 8, 6))
+    assert (w, h, len(got)) == (8, 6, 5)
+    f0 = frames[0]
+    assert got[0] == (f0[:, :, 0].tobytes() + f0[:, :, 1].tobytes()
+                      + f0[:, :, 2].tobytes())
+
+
+def test_compressed_formats_raise():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n fake png")
+
+
+# ------------------------------------------------- operators on FMM0 media
 def test_parse_meta(spark, media):
     meta = parse_meta(media).collect()
     assert len(meta) == 60
@@ -28,6 +98,7 @@ def test_parse_meta(spark, media):
         by_kind.setdefault(r["kind"], 0)
         by_kind[r["kind"]] += 1
         assert r["payload_len"] > 0
+        assert r["fmt"] == "fmm0"
     assert by_kind == {"image": 20, "audio": 20, "video": 20}
 
 
@@ -38,16 +109,8 @@ def test_image_features_deterministic(spark, media):
     assert all(0 <= v <= 255 for v in a.values())
 
 
-def test_resize_roundtrip(spark, media):
-    resized = resize_image(media, 16, 12)
-    feats = image_features(resized).collect()
-    assert len(feats) == 20
-    assert all(r["n_pixels"] == 16 * 12 for r in feats)
-
-
 def test_frame_sample_counts(spark, media):
     rows = frame_sample(media, every_k=4).collect()
-    # per video: ceil(n_frames / 4) frames
     metas = {r["media_id"]: r for r in parse_meta(media).collect()}
     import math
 
@@ -67,6 +130,53 @@ def test_audio_features_shape(spark, media):
         assert all(0.0 <= v <= 1.0 for v in r["rms"])
 
 
-def test_real_codec_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        _parse_header(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+# ------------------------------------------------ operators on REAL media
+def test_parse_meta_real(spark, real_media):
+    meta = parse_meta(real_media).collect()
+    fmts = {r["fmt"] for r in meta}
+    assert fmts == {"bmp", "ppm", "wav", "y4m"}
+    for r in meta:
+        if r["kind"] == "image":
+            assert r["width"] > 0 and r["height"] > 0
+        if r["kind"] == "audio":
+            assert r["sample_rate"] in (8000, 16000)
+        if r["kind"] == "video":
+            assert r["n_frames"] >= 6
+
+
+def test_resize_preserves_real_format(spark, real_media):
+    resized = resize_image(real_media, 8, 6)
+    meta = parse_meta(resized).collect()
+    assert len(meta) == 30  # images only
+    assert {r["fmt"] for r in meta} == {"bmp", "ppm"}
+    assert all((r["width"], r["height"]) == (8, 6) for r in meta)
+    feats = image_features(resized).collect()
+    assert all(r["n_pixels"] == 8 * 6 for r in feats)
+
+
+def test_real_image_features_match_numpy(spark, real_media):
+    from fastie_spark.multimodal import build_real_media_rows
+
+    rows = {r["media_id"]: r for r in build_real_media_rows(90)}
+    got = {r["media_id"]: r for r in image_features(real_media).collect()}
+    assert len(got) == 30
+    for mid, r in got.items():
+        px = decode_media(rows[mid]["payload"])["pixels"]
+        flat = px.reshape(-1).astype(np.int64)
+        assert r["mean_brightness"] == int(flat.sum()) / flat.size
+        assert r["n_pixels"] == px.shape[0] * px.shape[1]
+
+
+def test_real_audio_and_video_ops(spark, real_media):
+    a = audio_features(real_media, frame_len=500).collect()
+    assert len(a) == 30
+    assert all(0.0 <= v <= 1.0 for r in a for v in r["rms"])
+    f = frame_sample(real_media, every_k=2).collect()
+    metas = {r["media_id"]: r for r in parse_meta(real_media).collect()}
+    import math
+
+    want = sum(math.ceil(m["n_frames"] / 2)
+               for m in metas.values() if m["kind"] == "video")
+    assert len(f) == want
+    # y4m C444 frames are exactly 3*w*h bytes
+    assert all(len(r["frame"]) == 3 * 16 * 12 for r in f)
