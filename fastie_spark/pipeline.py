@@ -172,7 +172,8 @@ def make_extract_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
 
 def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
                       do_events: bool = True, from_html: bool = True,
-                      split_sentence: bool = False):
+                      split_sentence: bool = False, vocab_bc=None,
+                      init_acc=None):
     """Whole-document fused stage: html->text (P-extract), chunking (P6),
     space-mask (P3), tokenize (T1), score, decode (M1/M8/M14), chunk-rejoin
     (J1/J2) — all inside ONE Arrow batch pass, one row per page in.
@@ -182,15 +183,37 @@ def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
     dedup here (urls are unique, so no global dedup shuffle is needed at
     all). The relational chunker in chunk_pages stays available as a
     standalone operator; this is the throughput path for the e2e job.
-    """
+
+    Model init is per-PYTHON-WORKER, not per task: the scorer + label maps
+    are built lazily through executor_init.get_or_build keyed by the vocab
+    fingerprint, so with worker reuse the Nth task on a worker pays zero
+    init cost — the seam where a real tokenizer/checkpoint load slots in
+    (SURVEY §3.2). Pass ``vocab_bc`` (a Broadcast of the Vocab) to ship the
+    artifacts once per executor instead of once per task closure, and
+    ``init_acc`` (an accumulator) to observe actual build counts."""
     from .chunking import auto_splitter, char_bases, split_one
+    from .executor_init import get_or_build
     from .text_extract import extract_text_py
 
+    cache_key = (
+        f"dict_scorer|{(vocab_bc.value if vocab_bc else vocab).fingerprint()}"
+        f"|{max_length}"
+    )
+    ship_vocab = None if vocab_bc is not None else vocab
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        scorer = DictScorer(vocab, max_length)
-        ner_id2label = dict(enumerate(vocab.ner_labels()))
-        re_id2pred = dict(enumerate(vocab.predicates()))
-        event_id2label = dict(enumerate(vocab.event_labels()))
+        def build():
+            v = vocab_bc.value if vocab_bc is not None else ship_vocab
+            return (
+                DictScorer(v, max_length),
+                dict(enumerate(v.ner_labels())),
+                dict(enumerate(v.predicates())),
+                dict(enumerate(v.event_labels())),
+            )
+
+        scorer, ner_id2label, re_id2pred, event_id2label = get_or_build(
+            cache_key, build, init_acc
+        )
         src_col = "html" if from_html else "text"
 
         for pdf in batches:
@@ -285,6 +308,8 @@ def run_extraction_fused(
     repartition: bool = True,
     split_sentence: bool = False,
     max_length: int = MAX_LENGTH,
+    broadcast_vocab: bool = False,
+    init_acc=None,
 ) -> dict:
     """Fused-stage variant of run_extraction. pages needs (url, html) when
     from_html else (url, text). Triples come out already per-doc-deduped
@@ -295,16 +320,25 @@ def run_extraction_fused(
     is per-document, so co-location is not needed for correctness — only
     for task sizing when the source's own splits are skewed. With a
     well-bucketed source (e.g. an Iceberg table already bucketed by url)
-    the shuffle of the raw html bytes is pure cost."""
+    the shuffle of the raw html bytes is pure cost.
+
+    broadcast_vocab=True ships the vocab as a Spark broadcast (once per
+    executor) instead of in the task closure — the real-checkpoint shape,
+    where artifacts are MBs-GBs. init_acc: accumulator observing per-worker
+    scorer builds (executor_init)."""
     cols = ["url", "html" if from_html else "text"]
     parts = num_partitions or spark.sparkContext.defaultParallelism
     src = pages.select(*cols)
     if repartition:
         src = repartition_by_url(src, parts)
+    vocab_bc = (
+        spark.sparkContext.broadcast(vocab) if broadcast_vocab else None
+    )
     raw = src.mapInPandas(
         make_fused_doc_fn(vocab, max_length=max_length, do_events=do_events,
                           from_html=from_html,
-                          split_sentence=split_sentence),
+                          split_sentence=split_sentence, vocab_bc=vocab_bc,
+                          init_acc=init_acc),
         schema=EXTRACT_SCHEMA,
     )
     if persist:

@@ -73,6 +73,19 @@ class Vocab:
                 labels.add(f"{etype}@{role}")
         return sorted(labels)
 
+    def fingerprint(self) -> str:
+        """Content hash — the per-executor model-cache key (executor_init):
+        two Vocab objects with identical content share one worker-local
+        scorer instance."""
+        import hashlib
+
+        return hashlib.md5(
+            repr((sorted(map(tuple, self.entity_vocab)),
+                  sorted(map(tuple, self.relation_vocab)),
+                  sorted((e, tuple(map(tuple, a)))
+                         for e, a in self.event_vocab))).encode()
+        ).hexdigest()
+
 
 def find_all(text: str, sub: str) -> list:
     """All (overlapping) occurrence start offsets of sub in text."""

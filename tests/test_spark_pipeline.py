@@ -162,3 +162,44 @@ def test_sentence_split_mode_parity(spark, vocab, pages):
               for r in out["events"].collect()}
     out["_raw"].unpersist()
     assert ev_got == ev_want
+
+
+def test_per_worker_lazy_scorer_init(spark, pages_df, vocab):
+    """SURVEY §3.2 per-executor model initialization: the fused stage builds
+    the scorer at most once per PYTHON WORKER (broadcast artifacts + lazy
+    worker-cache), not once per task — and a warm re-run with the same
+    artifact fingerprint builds zero new scorers, with bit-identical
+    output. This is the seam a real tokenizer/checkpoint load plugs into."""
+    import copy
+    import uuid
+
+    from fastie_spark.pipeline import run_extraction_fused
+
+    # unique fingerprint so caches warmed by OTHER tests don't mask the
+    # first-run init count; the added surface never occurs in any page, so
+    # extraction output is unaffected
+    v = copy.deepcopy(vocab)
+    v.entity_vocab = list(v.entity_vocab) + [
+        (f"绝不出现{uuid.uuid4().hex[:8]}", v.entity_vocab[0][1])
+    ]
+
+    acc = spark.sparkContext.accumulator(0)
+    n_tasks = 32  # >> python-worker pool => reuse must kick in within a run
+    ext = run_extraction_fused(
+        spark, pages_df, v, persist=False, num_partitions=n_tasks,
+        broadcast_vocab=True, init_acc=acc,
+    )
+    rows1 = sorted(map(tuple, ext["_raw"].collect()))
+    first = acc.value
+    # at most one build per python worker (the reuse pool can hold more
+    # workers than cores after earlier wider stages — observed 8 on
+    # local[4] — but must stay far below one-per-task)
+    assert 1 <= first <= 16 < n_tasks, first
+
+    ext2 = run_extraction_fused(
+        spark, pages_df, v, persist=False, num_partitions=n_tasks,
+        broadcast_vocab=True, init_acc=acc,
+    )
+    rows2 = sorted(map(tuple, ext2["_raw"].collect()))
+    assert rows2 == rows1  # bit-identical through the lazy-init stage
+    assert acc.value == first  # warm workers: zero re-inits
