@@ -130,13 +130,24 @@ def run_ie(
     pages = _pages_df(spark, texts)
 
     if task == "uie":
+        import shutil
+        import tempfile
+
         from .uie import run_uie_spark
 
         if ie_schema is None:
             raise ValueError("uie requires ie_schema")
-        out = run_uie_spark(spark, pages, vocab, ie_schema,
-                            max_length=max_length, is_english=is_english)
-        labels = _nest_uie(_collect_by_url(out, n), ie_schema)
+        # serving collects immediately, so the BFS level checkpoints are
+        # transient — clean them up (a long-lived server must not leak a
+        # temp dir per request)
+        work_dir = tempfile.mkdtemp(prefix="uie_req_")
+        try:
+            out = run_uie_spark(spark, pages, vocab, ie_schema,
+                                max_length=max_length, is_english=is_english,
+                                work_dir=work_dir)
+            labels = _nest_uie(_collect_by_url(out, n), ie_schema)
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
     else:
         from .pipeline import run_extraction_fused
 

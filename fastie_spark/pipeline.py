@@ -100,14 +100,23 @@ def _event_key(url: str, etype: str, trigger: str, args: list) -> str:
 def make_extract_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
                     do_events: bool = True):
     """Fused tokenize+score+decode mapInPandas function. The scorer and
-    label maps are constructed once per task (executor-local init, the Spark
-    analogue of per-worker model load)."""
+    label maps are built once per PYTHON WORKER (executor_init worker cache
+    keyed by vocab fingerprint — the Spark analogue of per-worker model
+    load), so repeated tasks on a reused worker pay zero init."""
+    from .executor_init import get_or_build
+
+    cache_key = f"dict_scorer|{vocab.fingerprint()}|{max_length}"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        scorer = DictScorer(vocab, max_length)
-        ner_id2label = dict(enumerate(vocab.ner_labels()))
-        re_id2pred = dict(enumerate(vocab.predicates()))
-        event_id2label = dict(enumerate(vocab.event_labels()))
+        scorer, ner_id2label, re_id2pred, event_id2label = get_or_build(
+            cache_key,
+            lambda: (
+                DictScorer(vocab, max_length),
+                dict(enumerate(vocab.ner_labels())),
+                dict(enumerate(vocab.predicates())),
+                dict(enumerate(vocab.event_labels())),
+            ),
+        )
 
         for pdf in batches:
             rows = []

@@ -12,6 +12,10 @@ the task from the loaded checkpoint's architecture; here it's the ``task``
 argument), and every request funnels into the same SparkSession held by the
 driver process. Spark job submission is thread-safe, so the threading
 server's concurrent requests are fine — they just share the cluster.
+
+``GET /`` serves a self-contained HTML playground (textarea -> JSON result)
+— the analogue of the reference's Gradio demo
+(/root/reference/fastie/webui/interface.py:46-58: Textbox in, Json out).
 """
 
 from __future__ import annotations
@@ -24,6 +28,30 @@ from pyspark.sql import SparkSession
 
 from .api import TASKS, run_ie
 from .scorer import Vocab
+
+
+_PLAYGROUND_HTML = """<!doctype html>
+<html><head><meta charset="utf-8">
+<title>Fast Information Extraction Demo</title></head>
+<body style="font-family:sans-serif;max-width:52em;margin:2em auto">
+<h1>Fast Information Extraction Demo</h1>
+<p>Task: <b>{task}</b>. Enter one sentence per line.</p>
+<textarea id="t" rows="5" style="width:100%"
+  placeholder="Enter sentence here..."></textarea>
+<br><button onclick="go()">Extract</button>
+<pre id="out" style="background:#f4f4f4;padding:1em"></pre>
+<script>
+async function go() {{
+  const texts = document.getElementById('t').value.split('\\n')
+    .filter(s => s.length > 0);
+  const r = await fetch('/v1/ie', {{method: 'POST',
+    headers: {{'Content-Type': 'application/json'}},
+    body: JSON.stringify({{texts}})}});
+  document.getElementById('out').textContent =
+    JSON.stringify(await r.json(), null, 2);
+}}
+</script></body></html>
+"""
 
 
 def create_server(
@@ -51,6 +79,17 @@ def create_server(
             body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 - http.server API
+            if self.path not in ("/", "/index.html"):
+                self._send(404, {"detail": "Not Found"})
+                return
+            body = _PLAYGROUND_HTML.format(task=task).encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

@@ -111,6 +111,14 @@ def test_http_v1_ie_round_trip(spark, vocab):
         with pytest.raises(urllib.error.HTTPError) as e:
             post(f"http://{host}:{port}/v2/other", {"texts": ["x"]})
         assert e.value.code == 404
+
+        # GET / serves the playground page (the Gradio-demo analogue)
+        with urllib.request.urlopen(url.rsplit("/v1/ie", 1)[0] + "/",
+                                    timeout=30) as r:
+            page = r.read().decode()
+            assert r.status == 200
+            assert "Fast Information Extraction Demo" in page
+            assert "/v1/ie" in page
     finally:
         srv.shutdown()
         srv.server_close()
