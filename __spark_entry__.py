@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tests/test_uie.py)."""
         from fastie_spark.uie import run_uie_spark
 
+        import os
+        import tempfile
+
         docs = s.read.parquet(f"{d}/documents.parquet")
         vocab, _ = derived_vocab(s, docs)
         if not vocab.relation_vocab:
@@ -142,7 +145,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lbl = dict(vocab.entity_vocab)[subj]
         other = next(x for x in NER_LABELS if x != lbl)
         schema = [{lbl: [pred]}, other]
-        out = run_uie_spark(s, docs_as_pages(docs), vocab, schema)
+        # fixed per-(app, sf_dir) work dir: repeated driver calls overwrite
+        # the same level checkpoints instead of leaking a temp dir per call
+        work_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"uie_extract_{s.sparkContext.applicationId}_"
+            f"{abs(hash(d)) % 10**8}",
+        )
+        out = run_uie_spark(s, docs_as_pages(docs), vocab, schema,
+                            work_dir=work_dir)
         return out.select(
             "url", "path", "parent", "span",
             F.col("start").cast("long").alias("start"),

@@ -18,20 +18,26 @@ load per python worker — never one per task, batch, or row.
 
 from __future__ import annotations
 
-_CACHE: dict = {}
-_MAX_ENTRIES = 4  # distinct models resident per worker before eviction
+from collections import OrderedDict
+
+_CACHE: OrderedDict = OrderedDict()
+_MAX_ENTRIES = 4  # distinct models resident per worker before LRU eviction
 
 
 def get_or_build(cache_key: str, builder, init_acc=None):
     """Return the worker-cached artifact for cache_key, building it with
     ``builder()`` on first use. ``init_acc`` (a Spark accumulator) is
-    incremented only on an actual build."""
+    incremented only on an actual build. Eviction is LRU one-at-a-time, so
+    a driver alternating more than _MAX_ENTRIES models only rebuilds the
+    coldest one — never the whole resident set."""
     got = _CACHE.get(cache_key)
     if got is None:
-        if len(_CACHE) >= _MAX_ENTRIES:
-            _CACHE.clear()
+        while len(_CACHE) >= _MAX_ENTRIES:
+            _CACHE.popitem(last=False)
         got = builder()
         _CACHE[cache_key] = got
         if init_acc is not None:
             init_acc.add(1)
+    else:
+        _CACHE.move_to_end(cache_key)
     return got

@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 MAGIC = b"FMM0"
 
 MEDIA_DDL = "media_id long, kind string, payload binary"
+# payload_len = DECODED media-data bytes (pixel-array bytes for images, the
+# WAV data-chunk's stored byte length, summed frame bytes for video, body
+# length for fmm0) — container headers/padding excluded, consistent units
+# across formats
 META_DDL = (
     "media_id long, kind string, fmt string, width int, height int, "
     "sample_rate int, n_frames int, payload_len long"
@@ -154,8 +158,10 @@ def decode_pgm(payload: bytes) -> np.ndarray:
 
 
 def decode_wav(payload: bytes):
-    """-> (sample_rate, int16 samples). Walks RIFF chunks (fmt may not be
-    directly followed by data in real files)."""
+    """-> (sample_rate, int16 samples, raw_data_bytes). Walks RIFF chunks
+    (fmt may not be directly followed by data in real files).
+    raw_data_bytes = the data chunk's byte length as stored (so 8-bit and
+    16-bit clips report their true on-disk payload size)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE")
     pos, sr, bits, data = 12, None, None, None
@@ -180,7 +186,7 @@ def decode_wav(payload: bytes):
                    - 128) * 256
     else:
         raise NotImplementedError(f"only 8/16-bit PCM (got {bits})")
-    return int(sr), samples
+    return int(sr), samples, len(data)
 
 
 def decode_y4m(payload: bytes):
@@ -190,13 +196,22 @@ def decode_y4m(payload: bytes):
     if not head.startswith("YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 stream")
     w = h = None
+    saw_c = False
     for tok in head.split()[1:]:
         if tok[0] == "W":
             w = int(tok[1:])
         elif tok[0] == "H":
             h = int(tok[1:])
-        elif tok[0] == "C" and tok[1:] not in ("444",):
-            raise NotImplementedError(f"only C444 y4m (got {tok})")
+        elif tok[0] == "C":
+            saw_c = True
+            if tok[1:] not in ("444",):
+                raise NotImplementedError(f"only C444 y4m (got {tok})")
+    if not saw_c:
+        # spec default for a missing C tag is 4:2:0 (1.5*w*h bytes/frame) —
+        # slicing that as C444 would silently corrupt frames, so refuse
+        raise NotImplementedError(
+            "y4m stream without a C tag implies C420; only C444 is supported"
+        )
     flen = 3 * w * h
     frames, pos = [], nl + 1
     while pos < len(payload):
@@ -318,9 +333,9 @@ def decode_media(payload: bytes) -> dict:
                 "height": px.shape[0], "sample_rate": 0, "n_frames": 0,
                 "n_bytes": px.size, "pixels": px}
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-        sr, samples = decode_wav(p)
+        sr, samples, data_bytes = decode_wav(p)
         return {"kind": "audio", "fmt": "wav", "width": 0, "height": 0,
-                "sample_rate": sr, "n_frames": 0, "n_bytes": len(samples),
+                "sample_rate": sr, "n_frames": 0, "n_bytes": data_bytes,
                 "samples": samples}
     if p[:9] == b"YUV4MPEG2":
         w, h, frames = decode_y4m(p)
@@ -507,7 +522,18 @@ def media_df(spark: SparkSession, n: int = 60, seed: int = 42,
 # ---------------------------------------------------------------------------
 # driver-fixture parquet (the BinaryType correctness surface)
 # ---------------------------------------------------------------------------
-MEDIA_FIXTURE_PATH = "/root/repo/tests/fixtures/media.parquet"
+def _default_fixture_path() -> str:
+    import os
+
+    # repo-relative (fastie_spark/.. = repo root) — no hardcoded checkout
+    # location; an installed copy resolves next to wherever it lives
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "media.parquet",
+    )
+
+
+MEDIA_FIXTURE_PATH = _default_fixture_path()
 
 
 def ensure_media_parquet(path: str = MEDIA_FIXTURE_PATH, n: int = 90,

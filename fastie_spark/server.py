@@ -108,7 +108,16 @@ def create_server(
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 texts = req["texts"]
-            except (json.JSONDecodeError, KeyError, ValueError) as ex:
+                if not isinstance(texts, (str, list)) or (
+                    isinstance(texts, list)
+                    and not all(isinstance(t, str) for t in texts)
+                ):
+                    raise ValueError("texts must be a string or list of strings")
+            except (json.JSONDecodeError, KeyError, ValueError,
+                    TypeError, AttributeError) as ex:
+                # TypeError/AttributeError: valid-JSON bodies of the wrong
+                # shape ([1,2], "abc", {"texts": 5}) must yield a 400, not a
+                # dropped connection (reference FastAPI returns 422 here)
                 self._send(400, {"detail": f"bad request: {ex}"})
                 return
             try:

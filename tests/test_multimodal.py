@@ -58,8 +58,9 @@ def test_pnm_roundtrip_and_comments():
 def test_wav_roundtrip_and_8bit():
     rng = np.random.default_rng(3)
     s = rng.integers(-30000, 30000, size=1234, dtype=np.int16)
-    sr, got = decode_wav(encode_wav(s, 16000))
+    sr, got, nbytes = decode_wav(encode_wav(s, 16000))
     assert sr == 16000 and (got == s).all()
+    assert nbytes == 2 * 1234  # stored data-chunk bytes, not sample count
     # 8-bit unsigned PCM decodes onto the int16 scale
     import struct
 
@@ -67,8 +68,28 @@ def test_wav_roundtrip_and_8bit():
     wav8 = (b"RIFF" + struct.pack("<I", 36 + 3) + b"WAVE"
             + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
             + b"data" + struct.pack("<I", 3) + body)
-    sr, got = decode_wav(wav8)
+    sr, got, nbytes = decode_wav(wav8)
     assert sr == 8000 and list(got) == [-32768, 0, 32512]
+    assert nbytes == 3  # true on-disk bytes for the 8-bit clip
+
+
+def test_y4m_missing_c_tag_refused():
+    # spec default (no C tag) is 4:2:0 — mis-slicing as C444 would corrupt
+    # frames silently, so it must refuse like other unsupported subsamplings
+    with pytest.raises(NotImplementedError, match="C420"):
+        decode_y4m(b"YUV4MPEG2 W4 H2 F25:1\nFRAME\n" + bytes(12))
+
+
+def test_resize_fmm0_roundtrip(spark, media):
+    # the legacy-container re-pack branch: resized payloads stay decodable
+    # with the declared dims
+    resized = resize_image(media, 16, 12)
+    metas = parse_meta(resized).collect()
+    assert len(metas) == 20
+    assert all(r["fmt"] == "fmm0" and (r["width"], r["height"]) == (16, 12)
+               for r in metas)
+    feats = image_features(resized).collect()
+    assert all(r["n_pixels"] == 16 * 12 for r in feats)
 
 
 def test_y4m_roundtrip():
