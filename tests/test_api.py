@@ -131,3 +131,24 @@ def test_run_ie_validation(spark, vocab):
         run_ie(spark, "x", task="uie", vocab=vocab)  # schema required
     cls = run_ie(spark, ["文本"], task="text-classification", vocab=vocab)
     assert cls["labels"] == [None]
+
+
+def test_cli_vocab_loading(tmp_path, vocab):
+    """python -m fastie_spark vocab-JSON loading round-trips the Vocab
+    (the model-artifact analogue of the reference CLI's model path)."""
+    import json
+
+    from fastie_spark.__main__ import load_vocab
+
+    p = tmp_path / "vocab.json"
+    p.write_text(json.dumps({
+        "entity_vocab": [list(x) for x in vocab.entity_vocab],
+        "relation_vocab": [list(x) for x in vocab.relation_vocab],
+        "event_vocab": [[e, [list(a) for a in args]]
+                        for e, args in vocab.event_vocab],
+    }, ensure_ascii=False))
+    v = load_vocab(str(p), fixture=False)
+    assert v.entity_vocab == [tuple(x) for x in vocab.entity_vocab]
+    assert v.relation_vocab == [tuple(x) for x in vocab.relation_vocab]
+    assert v.fingerprint() == vocab.fingerprint()
+    assert load_vocab(None, fixture=True).entity_vocab  # built-in path
