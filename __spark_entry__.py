@@ -282,6 +282,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["audio_stats"] = audio_stats
+
+    def link_embedding(s, d):
+        """The '+embedding' half of dictionary+embedding linking
+        (north_star): surfaces the exact-match dictionary would miss
+        (deterministic variants: each derived alias with its 2nd char
+        dropped) are linked to the nearest alias by 16-dim n-gram
+        feature-hash embedding cosine (linking.link_by_embedding). The
+        arithmetic is all-integer until the final division, so the DuckDB
+        oracle reproduces scores and ranking bit-exactly."""
+        from fastie_spark.linking import link_by_embedding
+
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        _, toks = derived_vocab(s, docs)
+        aliases = local_df(
+            s,
+            [{"alias": t, "canonical_id": f"Q{i:05d}"}
+             for i, t in enumerate(toks)],
+            "alias string, canonical_id string",
+        )
+        variants = sorted({t[0] + t[2:] for t in toks if len(t) >= 3})
+        queries_df = local_df(
+            s, [{"surface": v} for v in variants], "surface string"
+        )
+        out = link_by_embedding(queries_df, aliases, k=1)
+        return out.select(
+            "surface", "alias", "canonical_id",
+            F.round("cos", 6).alias("cos"),
+        )
+
+    q["link_embedding"] = link_embedding
     q["extract_mentions"] = lambda s, d: _kg(s, d)["mentions"]
     q["extract_triples"] = lambda s, d: _kg(s, d)["triples"]
     q["extract_events"] = lambda s, d: _kg(s, d)["events"]
@@ -720,6 +750,58 @@ JOIN pred_ids p ON p.pred = r.pred
 )
 
 
+# link_embedding: embedding-linking oracle — mirrors
+# linking.surface_embeddings 1:1 (3-gram md5 feature hash into 16 dims,
+# +/-1 contributions), integer dot/norms, cos = dot / sqrt(n2q * n2a) as
+# the identical IEEE double, rank by (cos DESC, alias ASC).
+_LINK_EMBEDDING_SQL = (
+    "WITH " + _VOCAB_CTE + r""",
+al AS (SELECT tok AS s, printf('Q%05d', i) AS canonical_id FROM ent),
+vr AS (
+  SELECT DISTINCT substr(tok, 1, 1) || substr(tok, 3) AS s
+  FROM ent WHERE length(tok) >= 3
+),
+surf AS (SELECT s FROM vr UNION SELECT s FROM al),
+grams AS (
+  SELECT s,
+         CASE WHEN length(s) >= 3 THEN substr(s, cast(i AS INT), 3)
+              ELSE s END AS g
+  FROM surf,
+       unnest(generate_series(1, cast(greatest(length(s) - 2, 1) AS INT)))
+         AS t(i)
+),
+emb AS (
+  SELECT s, strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1 AS dim,
+         cast(sum(CASE WHEN substr(md5(g), 2, 1) < '8' THEN 1 ELSE -1 END)
+           AS BIGINT) AS v
+  FROM grams GROUP BY 1, 2
+),
+n2 AS (SELECT s, cast(sum(v * v) AS BIGINT) AS n2 FROM emb GROUP BY 1),
+dots AS (
+  SELECT eq.s AS qs, ea.s AS als, cast(sum(eq.v * ea.v) AS BIGINT) AS dot
+  FROM emb eq JOIN emb ea ON ea.dim = eq.dim
+  WHERE eq.s IN (SELECT s FROM vr) AND ea.s IN (SELECT s FROM al)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT v.s AS surface, a.s AS alias, a.canonical_id,
+         coalesce(d.dot, 0) / sqrt(nq.n2 * na.n2) AS cos
+  FROM vr v
+  CROSS JOIN al a
+  LEFT JOIN dots d ON d.qs = v.s AND d.als = a.s
+  JOIN n2 nq ON nq.s = v.s
+  JOIN n2 na ON na.s = a.s
+  WHERE nq.n2 > 0 AND na.n2 > 0
+)
+SELECT surface, alias, canonical_id, round(cos, 6) AS cos
+FROM (SELECT *, row_number() OVER (PARTITION BY surface
+                                   ORDER BY cos DESC, alias) AS rnk
+      FROM scored)
+WHERE rnk = 1
+"""
+)
+
+
 # image_stats / audio_stats: the BinaryType oracles parse the REAL container
 # bytes in SQL — hex(payload) sliced into per-byte values (strpos hex-digit
 # arithmetic), then: BMP dims/offset from the little-endian header words,
@@ -840,4 +922,5 @@ def oracle_sql() -> dict[str, str]:
     o["event_prf"] = _EVENT_PRF_SQL
     o["image_stats"] = _image_stats_sql()
     o["audio_stats"] = _audio_stats_sql()
+    o["link_embedding"] = _LINK_EMBEDDING_SQL
     return o

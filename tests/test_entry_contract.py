@@ -37,8 +37,25 @@ KG_KEYS = [
     "extract_mentions", "extract_triples", "link_triples",
     "canonical_components", "graph_edges", "classify_docs", "spo_convert",
     "extract_events", "decoder_coverage", "uie_extract", "event_prf",
-    "image_stats", "audio_stats",
+    "image_stats", "audio_stats", "link_embedding",
 ]
+
+
+def test_link_embedding_recovers_origin_alias(spark):
+    """Semantic check beyond oracle parity: a variant built by dropping one
+    char from an alias of length >= 5 still shares its tail 3-grams, so
+    embedding linking should usually recover the ORIGIN alias. (Length-3/4
+    aliases share NO grams with their variant — those link arbitrarily and
+    are excluded; at sf0.001 half the derived tokens are that short.)"""
+    df = entrymod.queries()["link_embedding"](spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    # restrict to variants whose surface length >= 4 (origin alias >= 5)
+    cand = [r for r in rows if len(r["surface"]) >= 4]
+    hits = sum(
+        1 for r in cand if r["alias"][0] + r["alias"][2:] == r["surface"]
+    )
+    assert cand and hits / len(cand) >= 0.6, (hits, len(cand))
 
 
 @pytest.mark.parametrize("name", KG_KEYS)
