@@ -170,3 +170,58 @@ def test_bloom_params_validated():
     with pytest.raises(ValueError, match=r"k must be"):
         make_bloom_dedup_fn(m_bits=64, k=5)
     make_bloom_dedup_fn(m_bits=64, k=4)  # boundary values are fine
+
+
+def test_stateful_dedup_stream_ttl(spark, vocab, tmp_path):
+    """Event-time TTL dedup: a url re-delivered WITHIN the ttl is
+    suppressed; re-delivered AFTER ttl of silence it is emitted again
+    (recrawl-freshness semantics); brand-new urls always pass. State
+    expires with the watermark (bounded over unbounded streams)."""
+    import datetime
+
+    from fastie_spark.streaming.stateful import dedup_stream_ttl
+
+    in_dir = str(tmp_path / "ttl_in")
+    out_dir = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+    pages = build_pages(vocab, n_docs=25, seed=13)
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def stamped(rows, minutes):
+        ts = base + datetime.timedelta(minutes=minutes)
+        return [{**r, "warc_ts": ts} for r in rows]
+
+    def run_wave(rows):
+        local_df(spark, rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+        q = (
+            dedup_stream_ttl(stream, ttl="1 hour",
+                             watermark_delay="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # wave 1: u0..u19 at t0 -> all emitted
+    run_wave(stamped(pages[:20], 0))
+    assert spark.read.parquet(out_dir).count() == 20
+
+    # wave 2: u0..u9 at t0+30min (inside ttl -> suppressed),
+    #         u10..u19 at t0+2h (ttl elapsed -> re-emitted),
+    #         u20..u24 new at t0+2h -> emitted
+    run_wave(stamped(pages[:10], 30) + stamped(pages[10:20], 120)
+             + stamped(pages[20:], 120))
+    out = spark.read.parquet(out_dir).groupBy("url").count().collect()
+    counts = {r["url"]: r["count"] for r in out}
+    for p in pages[:10]:
+        assert counts[p["url"]] == 1  # inside-ttl repeat suppressed
+    for p in pages[10:20]:
+        assert counts[p["url"]] == 2  # post-ttl recrawl re-emitted
+    for p in pages[20:]:
+        assert counts[p["url"]] == 1  # new url passes
