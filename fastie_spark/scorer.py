@@ -546,3 +546,48 @@ def re_cells_mapped(scorer: DictScorer, masked_text: str, mapping):
                     head.add((p, sh, oh))
                     tail.add((p, st, ot))
     return ent, head, tail
+
+
+def event_cells_mapped(scorer: DictScorer, masked_text: str, mapping):
+    """M14 event grids under an ARBITRARY offset_mapping — the event side of
+    the tokenizer seam (completes NER/RE: ner_cells_mapped/re_cells_mapped).
+    Same contract as DictScorer.event_cells: argu cells for every present
+    role argument, head/tail link cells pairing the FIRST representable
+    occurrence per argument; char occurrences that don't align to token
+    boundaries are unrepresentable (a real span model's constraint).
+    Reduces bit-for-bit to event_cells on the char tokenizer's mapping
+    (parity pytest-gated)."""
+    start_lut: dict = {}
+    end_lut: dict = {}
+    for i, (cs, ce) in enumerate(mapping):
+        if cs == 0 and ce == 0:
+            continue
+        start_lut.setdefault(cs, i)
+        end_lut[ce] = i
+    occ = scorer._occ_map(masked_text)
+
+    def tok_spans(surf):
+        out = []
+        for st in occ.get(surf, ()):
+            s_tok = start_lut.get(st)
+            e_tok = end_lut.get(st + len(surf))
+            if s_tok is not None and e_tok is not None:
+                out.append((s_tok, e_tok))
+        return out
+
+    argu, head, tail = set(), set(), set()
+    for etype, args in scorer._masked_events:
+        occ_first = []
+        for role, arg in args:
+            lid = scorer.event_label2id[f"{etype}@{role}"]
+            spans = tok_spans(arg)
+            for h, t in spans:
+                argu.add((lid, h, t))
+            if spans:
+                occ_first.append(spans[0])  # link via first occurrence
+        for i in range(len(occ_first)):
+            for j in range(i + 1, len(occ_first)):
+                (h1, t1), (h2, t2) = occ_first[i], occ_first[j]
+                head.add((min(h1, h2), max(h1, h2)))
+                tail.add((min(t1, t2), max(t1, t2)))
+    return argu, head, tail

@@ -191,3 +191,59 @@ class TestTokenizerSeamRE:
         enc = encode_meta(text)
         assert re_cells_mapped(scorer, text, enc["offset_mapping"]) == \
             scorer.re_cells(text)
+
+
+class TestTokenizerSeamEvent:
+    """Event side of the seam: clique-decoded events survive a multi-char
+    token tokenizer when argument surfaces align to token boundaries —
+    completes the real-checkpoint swap guard across all three decode
+    families (NER/RE/events)."""
+
+    def _vocab(self):
+        from fastie_spark.scorer import Vocab
+
+        return Vocab(event_vocab=[
+            ("成立事件", [("触发词", "成立"), ("founder", "中本聪"),
+                          ("company", "Acme")]),
+        ])
+
+    def _decode(self, text, encode_fn):
+        from fastie_spark.decoders import event_decode_cells, event_set2json
+        from fastie_spark.scorer import DictScorer, event_cells_mapped
+
+        vocab = self._vocab()
+        scorer = DictScorer(vocab)
+        enc = encode_fn(text)
+        argu, head, tail = event_cells_mapped(scorer, text,
+                                              enc["offset_mapping"])
+        id2label = dict(enumerate(vocab.event_labels()))
+        evs = event_set2json(event_decode_cells(
+            argu, head, tail, enc["seq_len"], text, enc["offset_mapping"],
+            id2label,
+        ))
+        return sorted(
+            (e["event_type"], e.get("trigger"),
+             tuple(sorted((a["role"], a["argument"]) for a in e["arguments"])))
+            for e in evs
+        )
+
+    def test_parity_char_vs_subword(self):
+        from fastie_spark.tokenizer import encode_meta, subword_encode_meta
+
+        text = "中本聪在今天成立了 Acme 公司。"
+        got_char = self._decode(text, encode_meta)
+        got_sub = self._decode(text, subword_encode_meta)
+        assert got_char == got_sub
+        assert got_sub and got_sub[0][0] == "成立事件"
+        assert dict(got_sub[0][2]) == {"founder": "中本聪", "company": "Acme"}
+
+    def test_mapped_reduces_to_event_cells_on_char_mapping(self):
+        from fastie_spark.scorer import DictScorer, event_cells_mapped
+        from fastie_spark.tokenizer import encode_meta
+
+        vocab = self._vocab()
+        scorer = DictScorer(vocab)
+        text = "成立 中本聪 Acme 成立。" * 40  # crosses truncation
+        enc = encode_meta(text)
+        assert event_cells_mapped(scorer, text, enc["offset_mapping"]) == \
+            scorer.event_cells(text)
