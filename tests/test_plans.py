@@ -139,3 +139,24 @@ def test_ngram_jaccard_semi_filters_shingles(spark):
     table to candidate docs before the intersection join."""
     plan = plan_tree(REGISTRY["ngram_jaccard_pairs"][0](spark, SF_DIR))
     assert "LeftSemi" in plan
+
+
+def test_link_embedding_alias_side_broadcast(spark):
+    """Embedding linking must broadcast the (dictionary-sized) alias side
+    everywhere it joins — no SortMergeJoin against the alias embeddings or
+    norms, and the query/alias pair enumeration is a broadcast nested loop,
+    never a shuffled cartesian."""
+    from fastie_spark.linking import link_by_embedding
+
+    queries = local_df(spark, [{"surface": s} for s in ("abcd", "bcde")],
+                       "surface string")
+    aliases = local_df(
+        spark,
+        [{"alias": a, "canonical_id": f"Q{i:05d}"}
+         for i, a in enumerate(("abcde", "bcdef", "cdefg"))],
+        "alias string, canonical_id string",
+    )
+    plan = plan_tree(link_by_embedding(queries, aliases))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast pair enumeration
+    assert "BroadcastHashJoin" in plan  # dim-join + alias-norm join
