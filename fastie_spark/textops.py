@@ -411,6 +411,51 @@ FROM documents
 """
 
 
+def stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (the partitioning-invariant
+    analogue of df.sampleBy(col, fractions, seed)): each language stratum
+    keeps a hash-determined fraction of its docs — the training-data
+    curation move of capping head languages while keeping tail languages
+    whole. Keep-decision = md5(doc_id|lang|'strat') first byte under the
+    stratum's threshold, so membership is content-stable under any
+    partitioning/engine (rand(seed) is not). Pure one-scan projection +
+    filter; scales trivially."""
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                       F.col("lang"), F.lit("|strat"))), 1, 2
+    )
+    # per-stratum rates by a closed-form rule on the stratum key (so the
+    # DuckDB oracle reproduces it): lang length mod 3 -> 25% / 50% / 75%
+    thresh = (
+        F.when(F.length("lang") % 3 == 0, "40")
+        .when(F.length("lang") % 3 == 1, "80")
+        .otherwise("c0")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .filter(h < thresh)
+        .select(
+            "doc_id", "lang",
+            F.when(F.length("lang") % 3 == 0, 0.25)
+            .when(F.length("lang") % 3 == 1, 0.5)
+            .otherwise(0.75).alias("rate"),
+        )
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang,
+       cast(CASE WHEN length(lang) % 3 = 0 THEN 0.25
+                 WHEN length(lang) % 3 = 1 THEN 0.5
+                 ELSE 0.75 END AS DOUBLE) AS rate
+FROM documents
+WHERE substring(md5(cast(doc_id AS VARCHAR) || '|' || lang || '|strat'), 1, 2)
+      < CASE WHEN length(lang) % 3 = 0 THEN '40'
+             WHEN length(lang) % 3 = 1 THEN '80'
+             ELSE 'c0' END
+"""
+
+
 def seeded_shuffle(spark, sf_dir):
     """Deterministic shuffle order (dataset.shuffle(seed) analogue): rank by
     keyed md5 — reproducible across engines/partitionings.
@@ -894,6 +939,7 @@ REGISTRY: dict = {
     "near_dup_pairs": (near_dup_pairs, NEAR_DUP_PAIRS_SQL),
     "knn_cosine": (knn_cosine, KNN_COSINE_SQL),
     "train_val_split": (train_val_split, TRAIN_VAL_SPLIT_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "seeded_shuffle": (seeded_shuffle, SEEDED_SHUFFLE_SQL),
     "dbc2sbc_norm": (dbc2sbc_norm, DBC2SBC_SQL),
     "lang_id_accuracy": (lang_id_accuracy, LANG_ID_ACC_SQL),

@@ -126,3 +126,24 @@ def test_emb_near_dup_exhaustive_superset(spark):
     }
     assert banded <= exact
     assert len(exact) > 0
+
+
+def test_stratified_sample_rates_honored(spark):
+    """Per-stratum keep fractions track the declared rates (hash sampling
+    is binomial; tolerance covers ~100-doc strata at sf0.001)."""
+    from fastie_spark.textops import _docs, stratified_sample
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in _docs(spark, SF_DIR).groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    kept = stratified_sample(spark, SF_DIR).collect()
+    by_lang: dict = {}
+    rates = {}
+    for r in kept:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+        rates[r["lang"]] = r["rate"]
+    for lang, n_kept in by_lang.items():
+        frac = n_kept / totals[lang]
+        assert abs(frac - rates[lang]) < 0.15, (lang, frac, rates[lang])
