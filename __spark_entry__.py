@@ -91,6 +91,7 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
         "triples": triples,
         "events": events,
         "linked": linked,
+        "linker": linker,
         "components": components,
         "graph_edges": graph_edges,
     }
@@ -283,14 +284,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_stats"] = audio_stats
 
-    def link_embedding(s, d):
+    def link_embedding(s, d, prefilter="exact"):
         """The '+embedding' half of dictionary+embedding linking
         (north_star): surfaces the exact-match dictionary would miss
         (deterministic variants: each derived alias with its 2nd char
         dropped) are linked to the nearest alias by 16-dim n-gram
         feature-hash embedding cosine (linking.link_by_embedding). The
         arithmetic is all-integer until the final division, so the DuckDB
-        oracle reproduces scores and ranking bit-exactly."""
+        oracle reproduces scores and ranking bit-exactly. prefilter="band"
+        is the 100 TB candidates->verify path (sign-band LSH, no cross
+        product); its oracle mirrors the banding, so it too is hash-exact."""
         from fastie_spark.linking import link_by_embedding
 
         docs = s.read.parquet(f"{d}/documents.parquet")
@@ -305,17 +308,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = local_df(
             s, [{"surface": v} for v in variants], "surface string"
         )
-        out = link_by_embedding(queries_df, aliases, k=1)
+        out = link_by_embedding(queries_df, aliases, k=1, prefilter=prefilter)
         return out.select(
             "surface", "alias", "canonical_id",
             F.round("cos", 6).alias("cos"),
         )
 
     q["link_embedding"] = link_embedding
+    q["link_embedding_banded"] = lambda s, d: link_embedding(
+        s, d, prefilter="band"
+    )
     q["extract_mentions"] = lambda s, d: _kg(s, d)["mentions"]
     q["extract_triples"] = lambda s, d: _kg(s, d)["triples"]
     q["extract_events"] = lambda s, d: _kg(s, d)["events"]
     q["link_triples"] = lambda s, d: _kg(s, d)["linked"]
+
+    def link_triples_shuffle(s, d):
+        """Same linking as link_triples but through the non-broadcast
+        fallback (shuffled hash join, AQE skew split) — the path a
+        Wikidata-scale alias table takes. Shares _LINKED_SQL with the
+        broadcast query: both strategies must hash identically."""
+        kg = _kg(s, d)
+        return link_triples(
+            kg["triples"], kg["linker"], normalize=False, strategy="shuffle"
+        ).select("url", "subj", "pred", "obj", "subj_id", "obj_id")
+
+    q["link_triples_shuffle"] = link_triples_shuffle
     q["canonical_components"] = lambda s, d: _kg(s, d)["components"].select(
         "node", "component"
     )
@@ -754,8 +772,10 @@ JOIN pred_ids p ON p.pred = r.pred
 # linking.surface_embeddings 1:1 (3-gram md5 feature hash into 16 dims,
 # +/-1 contributions), integer dot/norms, cos = dot / sqrt(n2q * n2a) as
 # the identical IEEE double, rank by (cos DESC, alias ASC).
-_LINK_EMBEDDING_SQL = (
-    "WITH " + _VOCAB_CTE + r""",
+# _EMB_COMMON_CTE is shared by the exact and banded oracles so the two
+# cannot drift: al = derived aliases, vr = 2nd-char-dropped variants,
+# emb = the sparse integer embeddings.
+_EMB_COMMON_CTE = r"""
 al AS (SELECT tok AS s, printf('Q%05d', i) AS canonical_id FROM ent),
 vr AS (
   SELECT DISTINCT substr(tok, 1, 1) || substr(tok, 3) AS s
@@ -775,7 +795,10 @@ emb AS (
          cast(sum(CASE WHEN substr(md5(g), 2, 1) < '8' THEN 1 ELSE -1 END)
            AS BIGINT) AS v
   FROM grams GROUP BY 1, 2
-),
+)"""
+
+_LINK_EMBEDDING_SQL = (
+    "WITH " + _VOCAB_CTE + "," + _EMB_COMMON_CTE + r""",
 n2 AS (SELECT s, cast(sum(v * v) AS BIGINT) AS n2 FROM emb GROUP BY 1),
 dots AS (
   SELECT eq.s AS qs, ea.s AS als, cast(sum(eq.v * ea.v) AS BIGINT) AS dot
@@ -800,6 +823,60 @@ FROM (SELECT *, row_number() OVER (PARTITION BY surface
 WHERE rnk = 1
 """
 )
+
+
+def _link_embedding_banded_sql(dims: int = 16, n_bits: int = 8) -> str:
+    """Banded-mode oracle, generated from the SAME (dims, n_bits) constants
+    the Spark path uses (linking.EMB_DIMS, default n_bits = dims/2) so the
+    two cannot silently diverge. Mirrors linking._link_by_embedding_banded:
+    densify emb to v0..v{dims-1}, sign-bit bands b1 = dims [0, n_bits) /
+    b2 = [n_bits, 2*n_bits), candidates agree on b1 OR b2, integer-exact
+    cosine + rank on candidates only."""
+    vcols = ",\n         ".join(
+        f"cast(coalesce(sum(CASE WHEN dim = {i} THEN v END), 0) AS BIGINT)"
+        f" AS v{i}" for i in range(dims)
+    )
+    n2 = " + ".join(f"v{i} * v{i}" for i in range(dims))
+    b1 = " || ".join(
+        f"cast(cast(v{i} > 0 AS INT) AS VARCHAR)" for i in range(n_bits)
+    )
+    b2 = " || ".join(
+        f"cast(cast(v{i} > 0 AS INT) AS VARCHAR)"
+        for i in range(n_bits, 2 * n_bits)
+    )
+    dot = " + ".join(f"q.v{i} * a.v{i}" for i in range(dims))
+    return (
+        "WITH " + _VOCAB_CTE + "," + _EMB_COMMON_CTE + f""",
+dense AS (
+  SELECT s, {vcols}
+  FROM emb GROUP BY s
+),
+feat AS (
+  SELECT *, {n2} AS n2, {b1} AS b1, {b2} AS b2
+  FROM dense
+),
+bcand AS (
+  SELECT q.s AS surface, a.s AS als,
+         cast({dot} AS BIGINT) AS dot, q.n2 AS n2q, a.n2 AS n2a
+  FROM feat q JOIN feat a ON (q.b1 = a.b1 OR q.b2 = a.b2)
+  WHERE q.s IN (SELECT s FROM vr) AND a.s IN (SELECT s FROM al)
+    AND q.n2 > 0 AND a.n2 > 0
+),
+scored AS (
+  SELECT c.surface, c.als AS alias, al.canonical_id,
+         c.dot / sqrt(c.n2q * c.n2a) AS cos
+  FROM bcand c JOIN al ON al.s = c.als
+)
+SELECT surface, alias, canonical_id, round(cos, 6) AS cos
+FROM (SELECT *, row_number() OVER (PARTITION BY surface
+                                   ORDER BY cos DESC, alias) AS rnk
+      FROM scored)
+WHERE rnk = 1
+"""
+    )
+
+
+_LINK_EMBEDDING_BANDED_SQL = _link_embedding_banded_sql()
 
 
 # image_stats / audio_stats: the BinaryType oracles parse the REAL container
@@ -914,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
     o["extract_mentions"] = _MENTIONS_SQL
     o["extract_triples"] = _TRIPLES_SQL
     o["link_triples"] = _LINKED_SQL
+    o["link_triples_shuffle"] = _LINKED_SQL
     o["canonical_components"] = _COMPONENTS_SQL
     o["graph_edges"] = _GRAPH_EDGES_SQL
     o["extract_events"] = _EVENTS_SQL
@@ -923,4 +1001,5 @@ def oracle_sql() -> dict[str, str]:
     o["image_stats"] = _image_stats_sql()
     o["audio_stats"] = _audio_stats_sql()
     o["link_embedding"] = _LINK_EMBEDDING_SQL
+    o["link_embedding_banded"] = _LINK_EMBEDDING_BANDED_SQL
     return o

@@ -58,9 +58,12 @@ def run_kg_job(
     triples_raw = raw.filter(F.col("kind") == "triple").select(*TRIPLE_COLS)
     events_raw = raw.filter(F.col("kind") == "event").select(*EVENT_COLS)
 
-    # stage 3: entity linking (broadcast dict join)
-    triples_linked = link_triples(triples_raw, linker)
-    mentions_linked = link_mentions(mentions_raw, linker)
+    # stage 3: entity linking. The job's dictionary is caller-supplied and
+    # fixture-sized, so pin "broadcast" (no probe job in the hot path); the
+    # linking API itself defaults to "auto" and falls back to a shuffled
+    # AQE-skew-handled join for non-broadcastable dictionaries.
+    triples_linked = link_triples(triples_raw, linker, strategy="broadcast")
+    mentions_linked = link_mentions(mentions_raw, linker, strategy="broadcast")
 
     # stage 4: canonicalization (union-find over alias edges)
     components = connected_components(alias_edges)

@@ -61,20 +61,50 @@ def prepare_linker_dict(linker: DataFrame, normalize: bool = True) -> DataFrame:
 
 def link_surfaces(
     df: DataFrame, linker_prepared: DataFrame, surface_col: str,
-    out_prefix: str, normalize: bool = True,
+    out_prefix: str, normalize: bool = True, strategy: str = "auto",
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Left broadcast-join df[surface_col] against the prepared dictionary,
-    adding ``{out_prefix}_id`` (null = NIL / unlinkable mention)."""
+    """Left-join df[surface_col] against the prepared dictionary, adding
+    ``{out_prefix}_id`` (null = NIL / unlinkable mention).
+
+    Size-adaptive join strategy (the cc.py pattern, cc.py:62-91):
+
+    - ``"broadcast"``: hint-forced broadcast hash join — no shuffle, so
+      Zipf-heavy head surfaces cost nothing. Right for real linker
+      dictionaries (<= low millions of aliases).
+    - ``"shuffle"``: plain equi-join, no hint — Catalyst picks a shuffled
+      hash / sort-merge join and AQE's skew-join split (enabled in
+      session.py) absorbs head-entity skew on the probe side. The only
+      viable plan when the alias table is Wikidata-scale (10^8 rows does
+      not broadcast to 1000 executors).
+    - ``"auto"`` (default): probe the prepared dict with
+      ``limit(threshold+1).count()`` (cheap: the dict is already
+      aggregated) and pick broadcast iff it fits. One extra tiny job, and
+      the choice is made from evidence instead of hope.
+    """
     d = linker_prepared.select(
         F.col("alias_norm"),
         F.col("canonical_id").alias(f"{out_prefix}_id"),
         F.col("prior").alias(f"{out_prefix}_prior"),
     )
+    if strategy == "auto":
+        n = linker_prepared.limit(broadcast_threshold + 1).count()
+        strategy = "broadcast" if n <= broadcast_threshold else "shuffle"
+    if strategy == "broadcast":
+        d = F.broadcast(d)
+    elif strategy == "shuffle":
+        # explicit hint: a dict that "auto" judged too big must never be
+        # silently re-broadcast by Catalyst's own stats; shuffled HASH join
+        # (not sort-merge) because the probe side needs no sort and AQE's
+        # skew split handles head-entity buckets on both join types
+        d = d.hint("shuffle_hash")
+    else:
+        raise ValueError(f"unknown link strategy: {strategy!r}")
     key = (normalize_surface(F.col(surface_col)) if normalize
            else F.col(surface_col))
     return (
         df.withColumn("__norm", key)
-        .join(F.broadcast(d), F.col("__norm") == d["alias_norm"], "left")
+        .join(d, F.col("__norm") == d["alias_norm"], "left")
         .drop("alias_norm", "__norm")
     )
 
@@ -115,8 +145,35 @@ def surface_embeddings(df: DataFrame, surface_col: str) -> DataFrame:
     )
 
 
+def dense_embeddings(df: DataFrame, surface_col: str) -> DataFrame:
+    """(s, v: array<long>[EMB_DIMS]) dense vectors from the sparse
+    ``surface_embeddings`` output — absent dims densify to 0, so the
+    integers are identical to the sparse formulation and any dot/norm
+    computed from them is bit-exact across engines."""
+    sp = surface_embeddings(df, surface_col)
+    m = sp.groupBy("s").agg(
+        F.map_from_entries(F.collect_list(F.struct("dim", "v"))).alias("m")
+    )
+    vec = F.array(*[
+        F.coalesce(F.element_at("m", F.lit(i)), F.lit(0).cast("long"))
+        for i in range(EMB_DIMS)
+    ])
+    return m.select("s", vec.alias("v"))
+
+
+def _sign_band(start: int, n_bits: int) -> Column:
+    """Sign-bit band over dense dims [start, start+n_bits) — the
+    axis-aligned random-hyperplane LSH of textops.emb_near_dup
+    (textops.py:604), minus the NULL sentinel (dense vectors have none)."""
+    return F.concat_ws("", *[
+        (F.element_at("v", start + i + 1) > 0).cast("int").cast("string")
+        for i in range(n_bits)
+    ])
+
+
 def link_by_embedding(queries: DataFrame, aliases: DataFrame,
-                      k: int = 1) -> DataFrame:
+                      k: int = 1, prefilter: str = "exact",
+                      n_bits: int = EMB_DIMS // 2) -> DataFrame:
     """queries(surface) x aliases(alias, canonical_id) -> top-k nearest
     aliases per surface by embedding cosine:
     (surface, alias, canonical_id, cos, rnk).
@@ -126,12 +183,30 @@ def link_by_embedding(queries: DataFrame, aliases: DataFrame,
     ordering (cos DESC, alias ASC) is deterministic and oracle-identical.
     Zero-norm surfaces (gram signs cancel) are unlinkable and dropped.
 
-    Scale shape: both sides here are dictionary-/distinct-surface-sized, so
-    the pair enumeration broadcasts the alias side. For multi-million-alias
-    dictionaries, prefilter candidates with the sign-band LSH pattern
-    (textops.emb_near_dup) and run this verify on the colliding pairs."""
+    Two candidate-generation modes:
+
+    - ``prefilter="exact"``: enumerate every surface x alias pair with a
+      broadcast of the alias side. Exact top-k; cost is
+      |surfaces| x |aliases| — the small-dictionary mode.
+    - ``prefilter="band"``: the 100 TB shape. Candidates are pairs agreeing
+      on a sign-bit LSH band over dense dims [0, n_bits) OR
+      [n_bits, 2*n_bits) (two redundant bands, the textops.emb_near_dup
+      pattern); the integer-exact cosine + top-k runs on colliding pairs
+      only. Both joins are plain equi-joins on the band key, so Catalyst
+      shuffles (or broadcasts, if one side is small) hash-partitioned by
+      band and AQE splits skewed buckets — no cross product anywhere, and
+      a 10^8-alias dictionary never needs to broadcast. Recall contract:
+      approximate — a true nearest alias whose sign pattern differs from
+      the surface in BOTH band windows is not considered (standard LSH
+      trade-off; near-identical n-gram profiles agree on almost every
+      coordinate sign, so top-1 agreement with exact mode stays high —
+      pytest-gated in tests/test_linking_graph.py)."""
+    if prefilter not in ("exact", "band"):
+        raise ValueError(f"unknown prefilter: {prefilter!r}")
     q = queries.select(F.col("surface")).distinct()
     a = aliases.select("alias", "canonical_id").distinct()
+    if prefilter == "band":
+        return _link_by_embedding_banded(q, a, k, n_bits)
     eq = surface_embeddings(q, "surface")
     ea = surface_embeddings(a, "alias")
     n2q = eq.groupBy("s").agg(F.sum(F.col("v") * F.col("v")).alias("n2q"))
@@ -168,16 +243,80 @@ def link_by_embedding(queries: DataFrame, aliases: DataFrame,
     )
 
 
+def _link_by_embedding_banded(q: DataFrame, a: DataFrame, k: int,
+                              n_bits: int) -> DataFrame:
+    """Banded candidates -> integer-exact verify. See link_by_embedding."""
+    n2 = F.aggregate("v", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    dq = (
+        dense_embeddings(q, "surface")
+        .select(F.col("s").alias("surface"), F.col("v").alias("vq"),
+                n2.alias("n2q"), _sign_band(0, n_bits).alias("b1"),
+                _sign_band(n_bits, n_bits).alias("b2"))
+        .filter(F.col("n2q") > 0)
+    )
+    da = (
+        dense_embeddings(a.select("alias"), "alias")
+        .select(F.col("s").alias("alias"), F.col("v").alias("va"),
+                n2.alias("n2a"), _sign_band(0, n_bits).alias("b1"),
+                _sign_band(n_bits, n_bits).alias("b2"))
+        .filter(F.col("n2a") > 0)
+    )
+
+    def band_join(col: str) -> DataFrame:
+        return (
+            dq.select("surface", "vq", "n2q", F.col(col).alias("band"))
+            .join(da.select("alias", "va", "n2a", F.col(col).alias("band")),
+                  ["band"])
+            .drop("band")
+        )
+
+    cand = (
+        band_join("b1").unionByName(band_join("b2"))
+        .dropDuplicates(["surface", "alias"])
+    )
+    dot = F.aggregate(
+        F.zip_with("vq", "va", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(a, "alias")  # re-attach canonical_id (1:n-safe, like exact)
+        .select(
+            "surface", "alias", "canonical_id",
+            (dot / F.sqrt(F.col("n2q") * F.col("n2a"))).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("surface").orderBy(F.desc("cos"), F.asc("alias"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _resolve_strategy(prepared: DataFrame, strategy: str,
+                      broadcast_threshold: int) -> str:
+    """Resolve "auto" ONCE per prepared dictionary so a multi-column link
+    (subj + obj) pays a single probe job, not one per joined column."""
+    if strategy != "auto":
+        return strategy
+    n = prepared.limit(broadcast_threshold + 1).count()
+    return "broadcast" if n <= broadcast_threshold else "shuffle"
+
+
 def link_mentions(mentions: DataFrame, linker: DataFrame,
-                  normalize: bool = True) -> DataFrame:
+                  normalize: bool = True, strategy: str = "auto",
+                  broadcast_threshold: int = 2_000_000) -> DataFrame:
     return link_surfaces(
         mentions, prepare_linker_dict(linker, normalize), "surface", "entity",
-        normalize,
+        normalize, strategy, broadcast_threshold,
     )
 
 
 def link_triples(triples: DataFrame, linker: DataFrame,
-                 normalize: bool = True) -> DataFrame:
+                 normalize: bool = True, strategy: str = "auto",
+                 broadcast_threshold: int = 2_000_000) -> DataFrame:
     prepared = prepare_linker_dict(linker, normalize)
-    out = link_surfaces(triples, prepared, "subj", "subj", normalize)
-    return link_surfaces(out, prepared, "obj", "obj", normalize)
+    strategy = _resolve_strategy(prepared, strategy, broadcast_threshold)
+    out = link_surfaces(triples, prepared, "subj", "subj", normalize, strategy)
+    return link_surfaces(out, prepared, "obj", "obj", normalize, strategy)

@@ -47,7 +47,11 @@ def run_incremental_extraction(
         stages = run_extraction_fused(
             spark, batch_df, vocab, from_html=True, persist=False
         )
-        linked = link_triples(stages["triples"], linker).withColumn(
+        # strategy pinned: the stream's linker dict is static and
+        # broadcast-sized; "auto"'s probe job would re-run every micro-batch
+        linked = link_triples(
+            stages["triples"], linker, strategy="broadcast"
+        ).withColumn(
             "subj_comp", F.col("subj_id")
         ).withColumn("obj_comp", F.col("obj_id"))
         materialize_snapshot(

@@ -168,3 +168,60 @@ def test_materialize_empty_snapshot(spark, tmp_path):
     # a second (resume) call is a no-op and still succeeds
     man2 = materialize_snapshot(empty, out_dir, "s0", n_buckets=4)
     assert man2["buckets"] == man["buckets"]
+
+
+def test_link_strategies_identical(spark, vocab, linker_df, pages_df):
+    """Broadcast and shuffle-fallback linking must produce identical rows —
+    strategy is a physical choice, never a semantic one. "auto" on a
+    fixture-sized dict resolves to broadcast and matches too."""
+    from fastie_spark.linking import link_triples
+    from fastie_spark.pipeline import run_extraction
+    from fastie_spark.text_extract import with_extracted_text
+
+    ext = with_extracted_text(pages_df.select("url", "html"))
+    triples = run_extraction(spark, ext, vocab, num_partitions=4,
+                             do_events=False, persist=False)["triples"]
+    cols = ["url", "subj", "pred", "obj", "subj_id", "obj_id"]
+
+    def rows(strategy):
+        out = link_triples(triples, linker_df, strategy=strategy)
+        return sorted(tuple(r[c] for c in cols) for r in out.collect())
+
+    bc = rows("broadcast")
+    assert bc == rows("shuffle")
+    assert bc == rows("auto")
+    # tiny-threshold auto must flip to the shuffle path and still match
+    out = link_triples(triples, linker_df, strategy="auto",
+                       broadcast_threshold=1)
+    assert bc == sorted(tuple(r[c] for c in cols) for r in out.collect())
+
+
+def test_link_embedding_banded_recall(spark):
+    """Banded candidates->verify vs exact enumeration: top-1 agreement on
+    deterministic typo variants of 60 real-word aliases. The sign-band LSH
+    contract is approximate; the gate pins it from collapsing."""
+    from fastie_spark.linking import link_by_embedding
+    from fastie_spark.session import local_df
+
+    words = [
+        "alberta", "berlin", "chicago", "denver", "edmonton", "frankfurt",
+        "geneva", "houston", "istanbul", "jakarta", "karachi", "lisbon",
+        "madrid", "nairobi", "oslo", "prague", "quebec", "rotterdam",
+        "seattle", "toronto", "utrecht", "vienna", "warsaw", "xiamen",
+        "yokohama", "zurich", "amsterdam", "barcelona", "calgary", "dublin",
+    ]
+    aliases = local_df(
+        spark,
+        [{"alias": w, "canonical_id": f"Q{i:05d}"} for i, w in enumerate(words)],
+        "alias string, canonical_id string",
+    )
+    variants = sorted({w[0] + w[2:] for w in words} | {w[:-1] for w in words})
+    queries = local_df(spark, [{"surface": v} for v in variants],
+                       "surface string")
+    exact = {r["surface"]: r["alias"]
+             for r in link_by_embedding(queries, aliases, k=1).collect()}
+    band = {r["surface"]: r["alias"]
+            for r in link_by_embedding(queries, aliases, k=1,
+                                       prefilter="band").collect()}
+    agree = sum(1 for s in exact if band.get(s) == exact[s])
+    assert agree / len(exact) >= 0.8, (agree, len(exact))

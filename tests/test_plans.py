@@ -160,3 +160,42 @@ def test_link_embedding_alias_side_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # broadcast pair enumeration
     assert "BroadcastHashJoin" in plan  # dim-join + alias-norm join
+
+
+def test_link_embedding_banded_no_cross_product(spark):
+    """prefilter="band" is the 100 TB path: candidate generation is an
+    equi-join on the sign-band key — no BroadcastNestedLoopJoin, no
+    CartesianProduct anywhere in the plan, so a 10^8-alias dictionary
+    never has to broadcast or enumerate all pairs."""
+    from fastie_spark.linking import link_by_embedding
+
+    queries = local_df(spark, [{"surface": s} for s in ("abcd", "bcde")],
+                       "surface string")
+    aliases = local_df(
+        spark,
+        [{"alias": a, "canonical_id": f"Q{i:05d}"}
+         for i, a in enumerate(("abcde", "bcdef", "cdefg"))],
+        "alias string, canonical_id string",
+    )
+    plan = plan_tree(link_by_embedding(queries, aliases, prefilter="band"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_link_dictionary_shuffle_fallback_plan(spark, vocab):
+    """strategy="shuffle" must produce a shuffled hash join (the
+    non-broadcastable-dictionary fallback) and never re-broadcast the
+    dictionary via Catalyst's own size stats."""
+    from fastie_spark.fixtures import build_linker_dict
+
+    linker = local_df(
+        spark, build_linker_dict(vocab),
+        "alias string, canonical_id string, entity_type string, prior double",
+    )
+    mentions = spark.createDataFrame(
+        [("u", "per", 0, 3, "abc")],
+        "url string, label string, start long, end long, surface string",
+    )
+    plan = plan_of(link_mentions(mentions, linker, strategy="shuffle"))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
