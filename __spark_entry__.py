@@ -146,15 +146,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lbl = dict(vocab.entity_vocab)[subj]
         other = next(x for x in NER_LABELS if x != lbl)
         schema = [{lbl: [pred]}, other]
-        # fixed per-(app, sf_dir) work dir: repeated driver calls overwrite
-        # the same level checkpoints instead of leaking a temp dir per call
+        # fixed per-(app, sf_dir) work dir under ONE parent: repeated driver
+        # calls overwrite the same level checkpoints instead of leaking a
+        # temp dir per call. The sf digest is hashlib (stable across driver
+        # processes — abs(hash(d)) was PYTHONHASHSEED-salted), stale dirs
+        # from dead sessions are pruned on entry, and the current dir is
+        # removed at interpreter exit, so the suite leaves nothing behind.
+        import atexit
+        import hashlib
+        import shutil
+
+        app = s.sparkContext.applicationId
+        parent = os.path.join(tempfile.gettempdir(), "fastie_spark_uie")
+        os.makedirs(parent, exist_ok=True)
+        for stale in os.listdir(parent):
+            if not stale.startswith(app):
+                shutil.rmtree(os.path.join(parent, stale),
+                              ignore_errors=True)
         work_dir = os.path.join(
-            tempfile.gettempdir(),
-            f"uie_extract_{s.sparkContext.applicationId}_"
-            f"{abs(hash(d)) % 10**8}",
+            parent, f"{app}_{hashlib.md5(d.encode()).hexdigest()[:8]}"
         )
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
         out = run_uie_spark(s, docs_as_pages(docs), vocab, schema,
-                            work_dir=work_dir)
+                            work_dir=work_dir, resume=True)
         return out.select(
             "url", "path", "parent", "span",
             F.col("start").cast("long").alias("start"),

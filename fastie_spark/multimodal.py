@@ -136,6 +136,10 @@ def _pnm_header(payload: bytes):
             j += 1
         fields.append(int(payload[i:j]))
         i = j
+    if fields[2] != 255:
+        # maxval > 255 stores 2-byte big-endian samples; reading them as
+        # 1-byte pixels would silently misparse — refuse instead
+        raise NotImplementedError(f"only maxval=255 PNM (got {fields[2]})")
     return fields[0], fields[1], i + 1  # single whitespace after maxval
 
 
@@ -170,10 +174,14 @@ def decode_wav(payload: bytes):
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            fmt_tag, _ch, sr = struct.unpack("<HHI", body[:8])
+            fmt_tag, ch, sr = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt_tag != 1:
                 raise NotImplementedError(f"only PCM WAV (fmt={fmt_tag})")
+            if ch != 1:
+                # interleaved multi-channel treated as mono would silently
+                # corrupt n_samples/RMS — refuse, like y4m refuses C420
+                raise NotImplementedError(f"only mono PCM (got {ch} channels)")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned

@@ -113,6 +113,11 @@ def create_server(
                     and not all(isinstance(t, str) for t in texts)
                 ):
                     raise ValueError("texts must be a string or list of strings")
+                # wrong-typed numeric fields ({"max_length": "512"}) must be
+                # a 400 here, not a TypeError inside run_ie/Spark (which
+                # would drop the connection with an unhandled exception)
+                batch_size = int(req.get("batch_size", 16))
+                max_length = int(req.get("max_length", 512))
             except (json.JSONDecodeError, KeyError, ValueError,
                     TypeError, AttributeError) as ex:
                 # TypeError/AttributeError: valid-JSON bodies of the wrong
@@ -127,8 +132,8 @@ def create_server(
                     task=task,
                     vocab=vocab,
                     ie_schema=req.get("ie_schema", default_schema),
-                    batch_size=req.get("batch_size", 16),
-                    max_length=req.get("max_length", 512),
+                    batch_size=batch_size,
+                    max_length=max_length,
                     is_english=is_english,
                 )
             except ValueError as ex:  # validation errors -> 400, not 500

@@ -369,7 +369,8 @@ def _dbc2sbc_col(col):
 def run_uie_spark(spark, pages, vocab: Vocab, schema,
                   max_length: int = MAX_LENGTH, split_sentence: bool = False,
                   position_prob: float = POSITION_PROB,
-                  is_english: bool = False, work_dir: str | None = None):
+                  is_english: bool = False, work_dir: str | None = None,
+                  resume: bool = False):
     """pages(url, text) + ad-hoc schema -> flat result rows
     (url, path, parent, span, start, end, probability). is_english switches
     the child prompt composition to the reference English mode
@@ -390,11 +391,25 @@ def run_uie_spark(spark, pages, vocab: Vocab, schema,
     work_dir: directory for the per-level checkpoints (on a cluster: a
     shared path, like any checkpoint location). Default: a fresh temp dir;
     the returned DataFrame reads from it, so remove it only after the
-    result is consumed."""
+    result is consumed.
+
+    resume=True: mid-schema restart. Each completed level commits an
+    atomic manifest (materialize.write_manifest — the same tmp+rename
+    watermark the graph tables use) recording the level's parameter
+    fingerprint and surviving node paths; on restart, levels whose
+    manifest matches are read back from their parquet instead of
+    recomputed, and extraction continues from the first missing level.
+    Checkpoint contract (as for any Spark checkpoint location): one
+    work_dir == one (input, schema) run — reusing a work_dir against
+    different pages is on the caller."""
+    import hashlib
+    import json as _json
     import os
     import tempfile
 
     from pyspark.sql import functions as F
+
+    from .materialize import read_manifest, write_manifest
 
     if isinstance(schema, (dict, str)):
         schema = [schema]
@@ -429,45 +444,75 @@ def run_uie_spark(spark, pages, vocab: Vocab, schema,
     child_union = None
     level_idx = 0
     while node_by_path:
-        # ---- assemble the level frame (url, text, prompt, parent, path)
-        frame = None
-        if root_consts:
-            for path, const in root_consts.items():
-                part = texts.select(
-                    "url", "text", F.lit(const).alias("prompt"),
-                    F.lit(None).cast("string").alias("parent"),
-                    F.lit(path).alias("path"),
-                )
-                frame = part if frame is None else frame.unionByName(part)
-        maxp_by_path = dict(root_consts)
-        if child_union is not None:
-            joined = child_union.join(texts, "url").select(
-                "url", "text", "prompt", "parent", "path"
-            )
-            frame = joined if frame is None else frame.unionByName(joined)
-            # ONE job: every node's lexicographic-max prompt at once
-            maxp_by_path.update({
-                r["path"]: r["m"]
-                for r in joined.groupBy("path")
-                .agg(F.max("prompt").alias("m")).collect()
-            })
-        # nodes whose prompt frame is empty -> reference skips node + subtree
-        kept = {p: n for p, n in node_by_path.items() if p in maxp_by_path}
-        if not kept:
-            break
-        # ---- one fused python stage + one checkpoint write for the level.
-        # The parquet write is reliable-storage lineage truncation: child
-        # levels and the final union replay from files (a localCheckpoint
-        # would strand the corpus-sized result on executor-local storage).
-        out = frame.mapInPandas(
-            _uie_level_fn(vocab, maxp_by_path, max_length, split_sentence,
-                          position_prob),
-            schema=out_schema,
-        )
         ldir = os.path.join(work_dir, f"level_{level_idx}")
-        out.write.mode("overwrite").parquet(ldir)
-        level_out = spark.read.schema(out_schema).parquet(ldir)
-        level_dirs.append(ldir)
+        # parameter fingerprint: a committed level is reusable only for the
+        # same node set + decode parameters (input identity is the caller's
+        # checkpoint contract, as with any checkpoint location)
+        level_fp = hashlib.md5(_json.dumps({
+            "paths": sorted(node_by_path), "max_length": max_length,
+            "split": split_sentence, "prob": position_prob,
+            "en": is_english,
+        }, sort_keys=True).encode()).hexdigest()
+        man = read_manifest(work_dir, f"level_{level_idx}") if resume else {}
+        if (man.get("completed") and man.get("fingerprint") == level_fp
+                and os.path.exists(ldir)):
+            # ---- resume fast path: level already committed — read it back,
+            # skip the prompt agg and the python extraction stage entirely
+            kept = {p: node_by_path[p] for p in man["kept_paths"]
+                    if p in node_by_path}
+            if not kept:
+                break
+            level_out = spark.read.schema(out_schema).parquet(ldir)
+            level_dirs.append(ldir)
+        else:
+            # ---- assemble the level frame (url, text, prompt, parent, path)
+            frame = None
+            if root_consts:
+                for path, const in root_consts.items():
+                    part = texts.select(
+                        "url", "text", F.lit(const).alias("prompt"),
+                        F.lit(None).cast("string").alias("parent"),
+                        F.lit(path).alias("path"),
+                    )
+                    frame = part if frame is None else frame.unionByName(part)
+            maxp_by_path = dict(root_consts)
+            if child_union is not None:
+                joined = child_union.join(texts, "url").select(
+                    "url", "text", "prompt", "parent", "path"
+                )
+                frame = joined if frame is None else frame.unionByName(joined)
+                # ONE job: every node's lexicographic-max prompt at once
+                maxp_by_path.update({
+                    r["path"]: r["m"]
+                    for r in joined.groupBy("path")
+                    .agg(F.max("prompt").alias("m")).collect()
+                })
+            # nodes with empty prompt frame -> reference skips node + subtree
+            kept = {p: n for p, n in node_by_path.items()
+                    if p in maxp_by_path}
+            if not kept:
+                break
+            # ---- one fused python stage + one checkpoint write per level.
+            # The parquet write is reliable-storage lineage truncation: child
+            # levels and the final union replay from files (a localCheckpoint
+            # would strand the corpus-sized result on executor-local storage).
+            out = frame.mapInPandas(
+                _uie_level_fn(vocab, maxp_by_path, max_length, split_sentence,
+                              position_prob),
+                schema=out_schema,
+            )
+            out.write.mode("overwrite").parquet(ldir)
+            level_out = spark.read.schema(out_schema).parquet(ldir)
+            level_dirs.append(ldir)
+            # commit AFTER the parquet write: a crash mid-write leaves no
+            # manifest, so restart recomputes the level (never reads a
+            # half-written dir)
+            write_manifest(work_dir, {
+                "snapshot_id": f"level_{level_idx}",
+                "fingerprint": level_fp,
+                "kept_paths": sorted(kept),
+                "completed": True,
+            })
         # ---- compose next level's prompt frames from the checkpointed rows
         next_nodes: dict = {}
         child_union = None

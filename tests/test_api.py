@@ -108,6 +108,19 @@ def test_http_v1_ie_round_trip(spark, vocab):
             post(url, {"no_texts": True})
         assert e.value.code == 400
 
+        # wrong-TYPED numeric fields are valid JSON but must still be a
+        # 400, not an unhandled TypeError deep in run_ie (round-3 ADVICE)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(url, {"texts": ["x"], "max_length": "not-a-number"})
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(url, {"texts": ["x"], "batch_size": [16]})
+        assert e.value.code == 400
+        # int-valued strings coerce (urlencoded clients send "512")
+        status, _ = post(url, {"texts": [f"{subj}和{obj}。"],
+                               "max_length": "512", "batch_size": "4"})
+        assert status == 200
+
         with pytest.raises(urllib.error.HTTPError) as e:
             post(f"http://{host}:{port}/v2/other", {"texts": ["x"]})
         assert e.value.code == 404

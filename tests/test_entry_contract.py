@@ -38,6 +38,7 @@ KG_KEYS = [
     "canonical_components", "graph_edges", "classify_docs", "spo_convert",
     "extract_events", "decoder_coverage", "uie_extract", "event_prf",
     "image_stats", "audio_stats", "link_embedding",
+    "link_embedding_banded", "link_triples_shuffle",
 ]
 
 

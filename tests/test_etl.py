@@ -110,7 +110,14 @@ def test_convert_ext_examples_compat_matches_reference():
 
     from fastie_spark.etl import convert_ext_examples_compat
 
+    import hashlib
+
     src = open("/root/reference/fastie/data/uie/utils.py").read()
+    # pin the snapshot before exec'ing it: a swapped/modified file must
+    # fail loudly here, never run with test privileges
+    assert hashlib.sha256(src.encode()).hexdigest() == (
+        "2ac0af59d4278699c0e50d668821ea1f72202c26e43482f2678ef5717f4ac2fd"
+    ), "reference utils.py changed — re-audit before exec"
     src = src.replace("from tqdm import tqdm", "")
     src = src.replace(
         "from ...extras import get_logger",

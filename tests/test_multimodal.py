@@ -73,6 +73,25 @@ def test_wav_roundtrip_and_8bit():
     assert nbytes == 3  # true on-disk bytes for the 8-bit clip
 
 
+def test_wav_multichannel_refused():
+    # stereo interleaved-as-mono would silently corrupt n_samples/RMS —
+    # must refuse like y4m refuses C420 (round-3 ADVICE)
+    import struct
+
+    stereo = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+              + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+              + b"data" + struct.pack("<I", 4) + bytes(4))
+    with pytest.raises(NotImplementedError, match="channels"):
+        decode_wav(stereo)
+
+
+def test_pnm_wide_maxval_refused():
+    # maxval > 255 means 2-byte big-endian samples; 1-byte parsing would
+    # silently misread — must refuse (round-3 ADVICE)
+    with pytest.raises(NotImplementedError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
+
+
 def test_y4m_missing_c_tag_refused():
     # spec default (no C tag) is 4:2:0 — mis-slicing as C444 would corrupt
     # frames silently, so it must refuse like other unsupported subsamplings

@@ -62,35 +62,38 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_knn_ivf_multiprobe_recall(spark):
-    """Multi-probe IVF (own bucket + Hamming-1 neighbors) must recover a
-    solid fraction of the brute-force top-k, and strictly dominate the
-    single-probe variant it replaced (which searched only the query's own
-    bucket). Ground truth = knn_cosine."""
-    from pyspark.sql import functions as F
+    """Hamming-2 multi-probe IVF must recover >= 0.5 of the brute-force
+    top-k at sf0.1 (the round-3 verdict's raised gate) and strictly
+    dominate the Hamming-1 tier, which dominates single-probe. Ground
+    truth = knn_cosine. sf0.1 embeddings are isotropic random vectors —
+    the worst case for sign-bit LSH, so these are floor numbers (measured:
+    H2 0.64, H1 0.30, single-probe ~0.06)."""
+    sf_big = "/root/testdata/sf0.1"
 
     from fastie_spark.textops import knn_cosine, knn_ivf
 
     truth = {
         (r["q_vec_id"], r["nn_vec_id"])
-        for r in knn_cosine(spark, SF_DIR, n_queries=10, k=5).collect()
+        for r in knn_cosine(spark, sf_big, n_queries=10, k=5).collect()
     }
-    multi = {
+    h2 = {
         (r["q_vec_id"], r["nn_vec_id"])
-        for r in knn_ivf(spark, SF_DIR, n_queries=10, k=5).collect()
+        for r in knn_ivf(spark, sf_big, n_queries=10, k=5).collect()
+    }
+    h1 = {
+        (r["q_vec_id"], r["nn_vec_id"])
+        for r in knn_ivf(spark, sf_big, n_queries=10, k=5, hamming=1).collect()
     }
     single = {
         (r["q_vec_id"], r["nn_vec_id"])
-        for r in knn_ivf(spark, SF_DIR, n_queries=10, k=5, n_probes=1).collect()
+        for r in knn_ivf(spark, sf_big, n_queries=10, k=5,
+                         n_probes=1).collect()
     }
-    recall_multi = len(multi & truth) / len(truth)
+    recall_h2 = len(h2 & truth) / len(truth)
+    recall_h1 = len(h1 & truth) / len(truth)
     recall_single = len(single & truth) / len(truth)
-    assert recall_multi >= recall_single
-    # sf0.001 embeddings are random vectors (worst case for sign-bit LSH —
-    # no cluster structure), so absolute recall is modest; measured: multi
-    # 0.24 vs single 0.06 (4x). Gate well below the measured value but high
-    # enough that a broken probe expansion (recall collapse to single-probe
-    # levels) fails.
-    assert recall_multi >= 0.15, (recall_multi, recall_single)
+    assert recall_h2 >= recall_h1 >= recall_single
+    assert recall_h2 >= 0.5, (recall_h2, recall_h1, recall_single)
 
 
 def test_emb_near_dup_nonempty_at_low_threshold(spark, duck):

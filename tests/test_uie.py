@@ -203,3 +203,79 @@ def test_uie_bfs_job_count_independent_of_node_count(no_aqe, pages_df, vocab):
     narrow = jobs([{lbl: [pred]}])
     wide = jobs([{lbl: [pred, "虚构关系甲", "虚构关系乙"]}, other])
     assert wide == narrow, (narrow, wide)
+
+
+def test_uie_bfs_resume_mid_schema(spark, vocab, pages, uie_schema, tmp_path,
+                                   monkeypatch):
+    """Kill between levels, resume to an identical result. First run dies
+    when the child level's extraction stage is built (level 0 already
+    parquet-committed with its manifest); the resume run must (a) NOT
+    recompute level 0 — its parquet files stay byte-untouched — and
+    (b) finish to the exact row multiset of an uninterrupted run."""
+    import os
+
+    import fastie_spark.uie as uie_mod
+
+    pages_df = spark.createDataFrame(
+        [{"url": p["url"], "text": p["text"]} for p in pages],
+        "url string, text string",
+    )
+
+    def rows(df):
+        return Counter(
+            (r["url"], r["path"], r["parent"], r["span"], r["start"],
+             r["end"], r["probability"]) for r in df.collect()
+        )
+
+    clean = rows(run_uie_spark(spark, pages_df, vocab, uie_schema,
+                               work_dir=str(tmp_path / "clean")))
+    assert sum(clean.values()) > 20
+
+    work_dir = str(tmp_path / "crashy")
+    real_fn = uie_mod._uie_level_fn
+
+    def dying_fn(vocab_, maxp_by_path, *a, **k):
+        if any("/" in p for p in maxp_by_path):  # a child level
+            raise RuntimeError("simulated crash between levels")
+        return real_fn(vocab_, maxp_by_path, *a, **k)
+
+    monkeypatch.setattr(uie_mod, "_uie_level_fn", dying_fn)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_uie_spark(spark, pages_df, vocab, uie_schema,
+                      work_dir=work_dir, resume=True).collect()
+    monkeypatch.setattr(uie_mod, "_uie_level_fn", real_fn)
+
+    l0 = os.path.join(work_dir, "level_0")
+    assert os.path.exists(os.path.join(work_dir, "_manifest_level_0.json"))
+    before = {f: os.path.getmtime(os.path.join(l0, f))
+              for f in os.listdir(l0)}
+    resumed = rows(run_uie_spark(spark, pages_df, vocab, uie_schema,
+                                 work_dir=work_dir, resume=True))
+    after = {f: os.path.getmtime(os.path.join(l0, f))
+             for f in os.listdir(l0)}
+    assert before == after  # level 0 read back, not rewritten
+    assert resumed == clean
+
+
+def test_uie_bfs_resume_rejects_changed_params(spark, vocab, pages,
+                                               uie_schema, tmp_path):
+    """A committed level is only reusable at the same decode parameters:
+    changing position_prob must invalidate the manifest fingerprint and
+    recompute instead of serving stale rows."""
+    import os
+
+    pages_df = spark.createDataFrame(
+        [{"url": p["url"], "text": p["text"]} for p in pages],
+        "url string, text string",
+    )
+    work_dir = str(tmp_path / "wd")
+    run_uie_spark(spark, pages_df, vocab, uie_schema, work_dir=work_dir,
+                  resume=True).collect()
+    l0 = os.path.join(work_dir, "level_0")
+    before = {f: os.path.getmtime(os.path.join(l0, f))
+              for f in os.listdir(l0)}
+    run_uie_spark(spark, pages_df, vocab, uie_schema, work_dir=work_dir,
+                  resume=True, position_prob=0.9).collect()
+    after = {f: os.path.getmtime(os.path.join(l0, f))
+             for f in os.listdir(l0)}
+    assert before != after  # fingerprint mismatch -> recomputed
