@@ -59,6 +59,19 @@ def main(argv=None):
         c.add_argument("--port", type=int, default=8000 if cmd == "api" else 7860)
         c.add_argument("--api-key", default=None)
         c.add_argument("--master", default=None)
+    # `python -m fastie_spark api config.yaml` — config file as defaults,
+    # flags override (the fastie-cli parse_yaml_file launch shape)
+    import sys as _sys
+
+    from .config import apply_config_defaults, load_job_config, pop_config_arg
+
+    raw = list(_sys.argv[1:] if argv is None else argv)
+    if raw and raw[0] in ("api", "demo"):
+        config_path, rest = pop_config_arg(raw[1:])
+        if config_path:
+            apply_config_defaults(sub.choices[raw[0]],
+                                  load_job_config(config_path), config_path)
+            argv = [raw[0]] + rest
     args = p.parse_args(argv)
 
     from .server import create_server

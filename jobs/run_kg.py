@@ -32,10 +32,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def main(argv=None) -> None:
+    from fastie_spark.config import (
+        apply_config_defaults,
+        load_job_config,
+        pop_config_arg,
+    )
+
+    if argv is None:
+        argv = sys.argv[1:]
+    # `python jobs/run_kg.py config.yaml [--overrides]` — the reference's
+    # `fastie-cli train config.yaml` launch shape (fastie/cli.py:48-65);
+    # file values are defaults, explicit flags override
+    config_path, argv = pop_config_arg(list(argv))
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True, help="pages parquet path")
-    ap.add_argument("--out", required=True, help="graph output dir")
+    ap.add_argument("--pages", default=None, help="pages parquet path")
+    ap.add_argument("--out", default=None, help="graph output dir")
     ap.add_argument("--snapshot-id", default="snap-000")
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--linker", default=None, help="linker dict parquet")
@@ -43,7 +55,11 @@ def main() -> None:
     ap.add_argument("--synthesize", type=int, default=0,
                     help="if >0, synthesize this many seeded pages first")
     ap.add_argument("--master", default=None)
-    args = ap.parse_args()
+    if config_path:
+        apply_config_defaults(ap, load_job_config(config_path), config_path)
+    args = ap.parse_args(argv)
+    if not args.pages or not args.out:
+        ap.error("--pages and --out are required (as flags or config keys)")
 
     from fastie_spark.fixtures import (
         build_alias_edges,

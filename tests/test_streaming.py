@@ -225,3 +225,85 @@ def test_stateful_dedup_stream_ttl(spark, vocab, tmp_path):
         assert counts[p["url"]] == 2  # post-ttl recrawl re-emitted
     for p in pages[20:]:
         assert counts[p["url"]] == 1  # new url passes
+
+
+def test_streaming_kg_pipeline_ttl_compose(spark, vocab, linker_df, tmp_path):
+    """The full continuous composition: TTL-deduped pages -> extract ->
+    link -> materialize, ONE streaming query. Covers (a) exactly-once under
+    an epoch REPLAY (commit marker deleted -> batch re-executes -> the
+    idempotent snapshot overwrite absorbs it), (b) in-TTL re-delivery never
+    re-extracted, (c) post-TTL recrawl re-extracted into a new epoch."""
+    import datetime
+    import shutil
+
+    from fastie_spark.streaming.incremental import run_streaming_kg_pipeline
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+    pages = build_pages(vocab, n_docs=25, seed=13)
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def stamped(rows, minutes):
+        ts = base + datetime.timedelta(minutes=minutes)
+        return [{**r, "warc_ts": ts} for r in rows]
+
+    def write_wave(rows):
+        local_df(spark, rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def run():
+        run_streaming_kg_pipeline(spark, in_dir, out_dir, ckpt, vocab,
+                                  linker_df, ttl="1 hour",
+                                  watermark_delay="10 minutes")
+
+    def prov():
+        return spark.read.parquet(os.path.join(out_dir, "provenance"))
+
+    # wave 1: 20 urls at t0
+    write_wave(stamped(pages[:20], 0))
+    run()
+    n1 = prov().count()
+    assert n1 > 0
+    snaps1 = {r["snapshot_id"] for r in prov().select("snapshot_id")
+              .distinct().collect()}
+
+    # REPLAY the committed epoch: drop the newest commit marker; restart
+    # re-executes that batch (state rolls back to the pre-batch version,
+    # the TTL filter re-emits identical rows) and the per-(snapshot,bucket)
+    # overwrite must leave provenance byte-count-identical
+    cdir = os.path.join(ckpt, "commits")
+    last = sorted(f for f in os.listdir(cdir) if not f.startswith("."))[-1]
+    os.remove(os.path.join(cdir, last))
+    crc = os.path.join(cdir, f".{last}.crc")  # hadoop local-FS sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert prov().count() == n1
+
+    # wave 2: urls 0-9 re-delivered INSIDE ttl (suppressed), urls 10-19
+    # recrawled PAST ttl (re-extracted), urls 20-24 new
+    write_wave(stamped(pages[:10], 30) + stamped(pages[10:20], 120)
+               + stamped(pages[20:], 120))
+    run()
+    per_url_snaps = {
+        r["url"]: r["n"]
+        for r in prov().groupBy("url")
+        .agg(F.countDistinct("snapshot_id").alias("n")).collect()
+    }
+    for p in pages[:10]:
+        if p["url"] in per_url_snaps:
+            assert per_url_snaps[p["url"]] == 1  # in-TTL repeat suppressed
+    recrawled = [p["url"] for p in pages[10:20] if p["url"] in per_url_snaps]
+    assert recrawled  # some wave-1 urls with triples were recrawled
+    for u in recrawled:
+        assert per_url_snaps[u] == 2  # post-TTL recrawl re-extracted
+    for p in pages[20:]:
+        if p["url"] in per_url_snaps:
+            assert per_url_snaps[p["url"]] == 1
+    # and no triple is duplicated WITHIN a snapshot
+    dup = (prov().groupBy("snapshot_id", "url", "subj", "pred", "obj")
+           .count().filter("count > 1"))
+    assert dup.count() == 0
