@@ -173,7 +173,8 @@ def _sign_band(start: int, n_bits: int) -> Column:
 
 def link_by_embedding(queries: DataFrame, aliases: DataFrame,
                       k: int = 1, prefilter: str = "exact",
-                      n_bits: int = EMB_DIMS // 2) -> DataFrame:
+                      n_bits: int = EMB_DIMS // 2,
+                      exact_threshold: int = 20_000) -> DataFrame:
     """queries(surface) x aliases(alias, canonical_id) -> top-k nearest
     aliases per surface by embedding cosine:
     (surface, alias, canonical_id, cos, rnk).
@@ -200,11 +201,18 @@ def link_by_embedding(queries: DataFrame, aliases: DataFrame,
       the surface in BOTH band windows is not considered (standard LSH
       trade-off; near-identical n-gram profiles agree on almost every
       coordinate sign, so top-1 agreement with exact mode stays high —
-      pytest-gated in tests/test_linking_graph.py)."""
-    if prefilter not in ("exact", "band"):
+      pytest-gated in tests/test_linking_graph.py).
+    - ``prefilter="auto"``: probe the distinct alias count
+      (``limit(threshold+1).count()`` — the same evidence-based switch as
+      link_surfaces' dictionary strategy) and use exact enumeration iff
+      the dictionary fits under ``exact_threshold``."""
+    if prefilter not in ("exact", "band", "auto"):
         raise ValueError(f"unknown prefilter: {prefilter!r}")
     q = queries.select(F.col("surface")).distinct()
     a = aliases.select("alias", "canonical_id").distinct()
+    if prefilter == "auto":
+        n = a.limit(exact_threshold + 1).count()
+        prefilter = "exact" if n <= exact_threshold else "band"
     if prefilter == "band":
         return _link_by_embedding_banded(q, a, k, n_bits)
     eq = surface_embeddings(q, "surface")

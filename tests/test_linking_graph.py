@@ -225,3 +225,32 @@ def test_link_embedding_banded_recall(spark):
                                        prefilter="band").collect()}
     agree = sum(1 for s in exact if band.get(s) == exact[s])
     assert agree / len(exact) >= 0.8, (agree, len(exact))
+
+
+def test_link_embedding_auto_prefilter(spark):
+    """prefilter="auto" probes the alias count: small dictionaries get the
+    exact enumeration, dictionaries over the threshold get the banded
+    path — both through the same public call."""
+    from fastie_spark.linking import link_by_embedding
+    from fastie_spark.session import local_df
+
+    words = ["alberta", "berlin", "chicago", "denver", "edmonton"]
+    aliases = local_df(
+        spark,
+        [{"alias": w, "canonical_id": f"Q{i:05d}"} for i, w in enumerate(words)],
+        "alias string, canonical_id string",
+    )
+    queries = local_df(spark, [{"surface": w[0] + w[2:]} for w in words],
+                       "surface string")
+
+    def rows(**kw):
+        return sorted(
+            (r["surface"], r["alias"], round(r["cos"], 6))
+            for r in link_by_embedding(queries, aliases, k=1, **kw).collect()
+        )
+
+    exact = rows(prefilter="exact")
+    band = rows(prefilter="band")
+    assert rows(prefilter="auto") == exact  # 5 aliases < threshold
+    # tiny threshold flips auto to the banded path
+    assert rows(prefilter="auto", exact_threshold=2) == band
