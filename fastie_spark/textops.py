@@ -958,6 +958,87 @@ WHERE q.quality > 0.05 AND lid.pred_lang <> 'unk'
 
 
 # ---------------------------------------------------------------- registry
+# ------------------------------------------------- per-source curation profile
+def source_profile(spark, sf_dir):
+    """Per-crawl-source curation profile — the dashboard a crawl operator
+    reads per source/snapshot before admitting it to training: doc volume,
+    exact-duplicate rate, language mix, dominant language and its share.
+
+    Scale shape: two-level aggregation, both map-side combinable — one
+    shuffle keyed (source, text-hash), one keyed source; the joins at the
+    end are source-cardinality (tiny). All aggregates are integers (counts,
+    bigint char sums); the only divisions are final bigint/bigint -> double,
+    so results are deterministic under any partitioning and the DuckDB
+    oracle is bit-exact."""
+    d = _docs(spark, sf_dir)
+    per_text = d.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.length("text")).cast("long").alias("chars"),
+    )
+    base = per_text.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum("chars").cast("long").alias("total_chars"),
+    )
+    per_lang = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("ln")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("ln"), F.asc("lang"))
+    top = (
+        per_lang.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("source", F.col("lang").alias("top_lang"),
+                F.col("ln").alias("top_n"))
+    )
+    n_langs = per_lang.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_langs")
+    )
+    return (
+        base.join(n_langs, "source").join(top, "source")
+        .select(
+            "source", "n_docs", "n_distinct",
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_docs"), 6)
+            .alias("dup_rate"),
+            "total_chars", "n_langs", "top_lang",
+            F.round(F.col("top_n") / F.col("n_docs"), 6)
+            .alias("top_lang_share"),
+        )
+    )
+
+
+SOURCE_PROFILE_SQL = """
+WITH per_text AS (
+  SELECT source, md5(text) AS h, cast(count(*) AS BIGINT) AS n,
+         cast(sum(length(text)) AS BIGINT) AS chars
+  FROM documents GROUP BY 1, 2
+),
+base AS (
+  SELECT source, cast(sum(n) AS BIGINT) AS n_docs,
+         cast(count(*) AS BIGINT) AS n_distinct,
+         cast(sum(chars) AS BIGINT) AS total_chars
+  FROM per_text GROUP BY 1
+),
+per_lang AS (
+  SELECT source, lang, cast(count(*) AS BIGINT) AS ln
+  FROM documents GROUP BY 1, 2
+),
+top AS (
+  SELECT source, lang AS top_lang, ln AS top_n
+  FROM per_lang
+  QUALIFY row_number() OVER (PARTITION BY source
+                             ORDER BY ln DESC, lang) = 1
+),
+nl AS (SELECT source, cast(count(*) AS BIGINT) AS n_langs
+       FROM per_lang GROUP BY 1)
+SELECT b.source, b.n_docs, b.n_distinct,
+       round(1.0 - b.n_distinct / b.n_docs, 6) AS dup_rate,
+       b.total_chars, nl.n_langs, t.top_lang,
+       round(t.top_n / b.n_docs, 6) AS top_lang_share
+FROM base b JOIN nl ON nl.source = b.source
+JOIN top t ON t.source = b.source
+"""
+
+
 REGISTRY: dict = {
     "chunk_stats": (chunk_stats, CHUNK_STATS_SQL),
     "chunk_explode": (chunk_explode, CHUNK_EXPLODE_SQL),
@@ -989,4 +1070,5 @@ REGISTRY: dict = {
         knn_ivf_sql(n_queries=8, k=5, hamming=1),
     ),
     "corpus_filter": (corpus_filter, CORPUS_FILTER_SQL),
+    "source_profile": (source_profile, SOURCE_PROFILE_SQL),
 }
