@@ -254,3 +254,36 @@ def test_link_embedding_auto_prefilter(spark):
     assert rows(prefilter="auto") == exact  # 5 aliases < threshold
     # tiny threshold flips auto to the banded path
     assert rows(prefilter="auto", exact_threshold=2) == band
+
+
+def test_link_shuffle_under_head_entity_skew(spark, linker_df):
+    """The north rule's named concern: Zipf-heavy head entities. Build a
+    mention table where ONE surface is half of all rows (extreme head) and
+    link through the non-broadcast fallback — the path a Wikidata-scale
+    dictionary forces — with AQE's skew split active. Results must equal
+    the broadcast path exactly; the skewed key must not lose or duplicate
+    rows."""
+    from fastie_spark.linking import link_mentions
+    from fastie_spark.session import local_df
+
+    head = linker_df.collect()[0]["alias"]
+    rows = [{"url": f"u{i}", "label": "per", "start": 0, "end": 1,
+             "surface": head} for i in range(5000)]
+    rows += [{"url": f"v{i}", "label": "per", "start": 0, "end": 1,
+              "surface": f"nomatch{i}"} for i in range(5000)]
+    mentions = local_df(
+        spark, rows,
+        "url string, label string, start long, end long, surface string",
+    ).repartition(16)
+
+    def counts(strategy):
+        out = link_mentions(mentions, linker_df, strategy=strategy)
+        agg = out.groupBy("entity_id").count().collect()
+        return {r["entity_id"]: r["count"] for r in agg}
+
+    bc, sh = counts("broadcast"), counts("shuffle")
+    assert bc == sh
+    # the head surface linked every one of its 5000 rows to one id
+    head_ids = [k for k, v in sh.items() if v == 5000 and k is not None]
+    assert len(head_ids) == 1
+    assert sh.get(None) == 5000  # NIL mentions preserved, not dropped
