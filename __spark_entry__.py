@@ -67,7 +67,10 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
     # exact-match linking: the derived dictionary is surface-exact and the
     # SQL oracle assigns ids per raw token, so normalization collisions
     # (case/width-equal tokens) must not merge ids here
-    linked = link_triples(triples, linker, normalize=False).select(
+    # broadcast pinned: the derived dict is fixture-sized; "auto"'s probe
+    # would add an eager count job to every fresh _kg build
+    linked = link_triples(triples, linker, normalize=False,
+                          strategy="broadcast").select(
         "url", "subj", "pred", "obj", "subj_id", "obj_id"
     ).persist()
 
@@ -159,10 +162,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         app = s.sparkContext.applicationId
         parent = os.path.join(tempfile.gettempdir(), "fastie_spark_uie")
         os.makedirs(parent, exist_ok=True)
+        # prune only dirs that are BOTH foreign and old: a concurrent live
+        # session's dir has a fresh mtime and must not be deleted from
+        # under it — "foreign" alone is not evidence of death
+        now = __import__("time").time()
         for stale in os.listdir(parent):
-            if not stale.startswith(app):
-                shutil.rmtree(os.path.join(parent, stale),
-                              ignore_errors=True)
+            sp = os.path.join(parent, stale)
+            try:
+                old = now - os.path.getmtime(sp) > 6 * 3600
+            except OSError:
+                continue
+            if not stale.startswith(app) and old:
+                shutil.rmtree(sp, ignore_errors=True)
         work_dir = os.path.join(
             parent, f"{app}_{hashlib.md5(d.encode()).hexdigest()[:8]}"
         )
@@ -890,7 +901,14 @@ WHERE rnk = 1
     )
 
 
-_LINK_EMBEDDING_BANDED_SQL = _link_embedding_banded_sql()
+# generated from the Spark path's OWN constants (not literals), so a
+# future EMB_DIMS change flows into the oracle instead of silently
+# diverging from it
+from fastie_spark.linking import EMB_DIMS as _EMB_DIMS  # noqa: E402
+
+_LINK_EMBEDDING_BANDED_SQL = _link_embedding_banded_sql(
+    dims=_EMB_DIMS, n_bits=_EMB_DIMS // 2
+)
 
 
 # image_stats / audio_stats: the BinaryType oracles parse the REAL container

@@ -59,13 +59,13 @@ def apply_config_defaults(parser, cfg: dict[str, Any], path: str) -> None:
 
 
 def pop_config_arg(argv: list[str]) -> tuple[str | None, list[str]]:
-    """Extract a leading config-file path (the ``fastie-cli train
-    config.yaml`` shape) from argv: the first non-flag argument ending in
-    .yaml/.yml/.json. Returns (path_or_None, remaining_argv)."""
-    for i, a in enumerate(argv):
-        if a.startswith("-"):
-            continue
-        if a.endswith((".yaml", ".yml", ".json")) and os.path.exists(a):
-            return a, argv[:i] + argv[i + 1:]
-        break
+    """Extract a LEADING config-file path (the ``fastie-cli train
+    config.yaml`` shape) from argv. Only position 0 is considered — a
+    later value like ``--vocab vocab.json`` is a flag's argument, not a
+    job config, and must never be hijacked. Returns
+    (path_or_None, remaining_argv)."""
+    if (argv and not argv[0].startswith("-")
+            and argv[0].endswith((".yaml", ".yml", ".json"))
+            and os.path.exists(argv[0])):
+        return argv[0], argv[1:]
     return None, argv

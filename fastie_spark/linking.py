@@ -87,9 +87,8 @@ def link_surfaces(
         F.col("canonical_id").alias(f"{out_prefix}_id"),
         F.col("prior").alias(f"{out_prefix}_prior"),
     )
-    if strategy == "auto":
-        n = linker_prepared.limit(broadcast_threshold + 1).count()
-        strategy = "broadcast" if n <= broadcast_threshold else "shuffle"
+    strategy = _resolve_strategy(linker_prepared, strategy,
+                                 broadcast_threshold)
     if strategy == "broadcast":
         d = F.broadcast(d)
     elif strategy == "shuffle":
@@ -270,16 +269,23 @@ def _link_by_embedding_banded(q: DataFrame, a: DataFrame, k: int,
         .filter(F.col("n2a") > 0)
     )
 
-    def band_join(col: str) -> DataFrame:
-        return (
-            dq.select("surface", "vq", "n2q", F.col(col).alias("band"))
-            .join(da.select("alias", "va", "n2a", F.col(col).alias("band")),
-                  ["band"])
-            .drop("band")
+    # ONE equi-join on (band_index, band) over band-exploded sides — the
+    # dense-embedding aggregations feed a single join branch instead of
+    # being re-evaluated per band (code-review fix), and the join key
+    # includes the band index so b1 values never collide with b2 values
+    def explode_bands(df: DataFrame, keep: list) -> DataFrame:
+        bands = F.explode(F.array(
+            F.struct(F.lit(1).alias("bi"), F.col("b1").alias("band")),
+            F.struct(F.lit(2).alias("bi"), F.col("b2").alias("band")),
+        ))
+        return df.select(*keep, bands.alias("bb")).select(
+            *keep, F.col("bb.bi").alias("bi"), F.col("bb.band").alias("band")
         )
 
     cand = (
-        band_join("b1").unionByName(band_join("b2"))
+        explode_bands(dq, ["surface", "vq", "n2q"])
+        .join(explode_bands(da, ["alias", "va", "n2a"]), ["bi", "band"])
+        .drop("bi", "band")
         .dropDuplicates(["surface", "alias"])
     )
     dot = F.aggregate(

@@ -136,10 +136,11 @@ def _pnm_header(payload: bytes):
             j += 1
         fields.append(int(payload[i:j]))
         i = j
-    if fields[2] != 255:
+    if fields[2] > 255:
         # maxval > 255 stores 2-byte big-endian samples; reading them as
-        # 1-byte pixels would silently misparse — refuse instead
-        raise NotImplementedError(f"only maxval=255 PNM (got {fields[2]})")
+        # 1-byte pixels would silently misparse — refuse. maxval 1..255
+        # stays 1 byte per sample and decodes correctly.
+        raise NotImplementedError(f"only 1-byte PNM (maxval {fields[2]})")
     return fields[0], fields[1], i + 1  # single whitespace after maxval
 
 

@@ -77,7 +77,7 @@ def one_leg(master: str, shuf: int, pages_path: str, runs: int) -> dict:
     return r
 
 
-def provenance_hash(spark, pages_path: str, master_label: str,
+def provenance_hash(pages_path: str, master_label: str,
                     shuf: int) -> tuple[str, int, float, int]:
     """Run the job ONCE keeping the output, return (order-independent
     md5-xor hash over provenance rows, n_triples, wall, peak_rss_mb)."""
@@ -144,8 +144,8 @@ def main():
     # steady-state timing legs (fresh subprocesses, min-of-runs)
     leg32 = one_leg("local[32]", 32, pages_path, runs=2)
     # bit-identical check across parallelism + peak RSS while keeping output
-    h32, n32, w32, rss32 = provenance_hash(None, pages_path, "local[32]", 32)
-    h16, n16, w16, rss16 = provenance_hash(None, pages_path, "local[16]", 16)
+    h32, n32, w32, rss32 = provenance_hash(pages_path, "local[32]", 32)
+    h16, n16, w16, rss16 = provenance_hash(pages_path, "local[16]", 16)
     print(json.dumps({
         "n_docs": n_docs,
         "input_parquet_gb": round(size_gb, 2),

@@ -37,6 +37,12 @@ def test_pop_config_arg(tmp_path):
     c.write_text("a: 1\n")
     assert pop_config_arg([str(c), "--x", "1"]) == (str(c), ["--x", "1"])
     assert pop_config_arg(["--x", "1"]) == (None, ["--x", "1"])
+    # a flag VALUE ending in .json (e.g. --vocab vocab.json) is NOT a job
+    # config — only position 0 counts (code-review regression)
+    j = tmp_path / "vocab.json"
+    j.write_text("{}")
+    argv = ["--vocab", str(j)]
+    assert pop_config_arg(argv) == (None, argv)
     # non-existent path is not silently treated as a config
     assert pop_config_arg(["/no/such.yaml"]) == (None, ["/no/such.yaml"])
 

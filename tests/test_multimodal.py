@@ -90,6 +90,9 @@ def test_pnm_wide_maxval_refused():
     # silently misread — must refuse (round-3 ADVICE)
     with pytest.raises(NotImplementedError, match="maxval"):
         decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
+    # spec-valid SMALL maxval stays 1 byte/sample and must still decode
+    px = decode_ppm(b"P6\n2 2\n15\n" + bytes(range(12)))
+    assert px.shape == (2, 2, 3) and px[0, 0, 0] == 0 and px[1, 1, 2] == 11
 
 
 def test_y4m_missing_c_tag_refused():
