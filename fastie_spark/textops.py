@@ -340,6 +340,63 @@ FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
 """
 
 
+def near_dup_clusters(spark, sf_dir):
+    """Cluster-level near-dup dedup — the keep-one-per-cluster step a real
+    corpus pipeline runs AFTER pair generation: LSH candidate pairs
+    (near_dup_pairs) -> connected components over the pair graph (cc.py:
+    driver union-find when tiny, distributed label-prop + pointer jumping
+    at scale) -> every doc labeled with its cluster id (= min doc_id in the
+    component; singletons are their own cluster) and an is_canonical flag
+    (training keeps exactly the canonical rows).
+
+    Scale shape: the pair graph is orders of magnitude smaller than the
+    corpus (only band-colliding docs appear), so the CC loop runs on the
+    small table; the corpus is touched by one final left join keyed
+    doc_id. No cross products anywhere."""
+    from .cc import connected_components
+
+    pairs = near_dup_pairs(spark, sf_dir)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    d = _docs(spark, sf_dir).select("doc_id")
+    return (
+        d.join(
+            comp.select(F.col("node").alias("doc_id"),
+                        F.col("component").alias("cluster_id")),
+            "doc_id", "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).cast("long")
+            .alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({NEAR_DUP_PAIRS_SQL}),
+ed AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM ed
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN ed e ON e.u = r.v WHERE e.v <> r.u
+),
+comp AS (
+  SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       cast(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+       d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 # ---------------------------------------------------------------- similarity
 def knn_cosine(spark, sf_dir, n_queries: int = 5, k: int = 3):
     """Brute-force cosine top-k: broadcast the tiny query side against the
@@ -1071,4 +1128,5 @@ REGISTRY: dict = {
     ),
     "corpus_filter": (corpus_filter, CORPUS_FILTER_SQL),
     "source_profile": (source_profile, SOURCE_PROFILE_SQL),
+    "near_dup_clusters": (near_dup_clusters, NEAR_DUP_CLUSTERS_SQL),
 }
