@@ -176,3 +176,53 @@ def test_clique_search_state_cap():
     with pytest.raises(RuntimeError, match="state explosion"):
         clique_search(argus, links, max_states=64)
     assert len(clique_search(argus, links)) == 20
+
+
+def test_w2ner_decode_matches_bruteforce():
+    """Independent oracle for the W2NER DFS: enumerate ALL DAG paths (NNW
+    edges are strictly increasing, so paths are finite) from each
+    registered head and keep those ending at a tail registered for that
+    head — a different algorithm from the production DFS, so a translation
+    bug in either cannot hide."""
+    import numpy as np
+
+    from fastie_spark.decoders import w2ner_decode_grid
+
+    def brute(grid, length, text, id2label):
+        fwd, heads, types = {}, {}, {}
+        for (r, c), lab in grid.items():
+            if r >= length or c >= length:
+                continue
+            if lab == 1 and r < c:
+                fwd.setdefault(r, []).append(c)
+            if lab > 1 and r >= c:
+                types[(c, r)] = lab
+                heads.setdefault(c, set()).add(r)
+        out = set()
+
+        def paths(node):
+            yield [node]
+            for nxt in sorted(fwd.get(node, [])):
+                for p in paths(nxt):
+                    yield [node] + p
+
+        for h, tails in heads.items():
+            for p in paths(h):
+                if p[-1] in tails:
+                    out.add((id2label[types[(p[0], p[-1])]], p[0],
+                             p[-1] + 1, "".join(text[i] for i in p)))
+        return out
+
+    rng = np.random.default_rng(55)
+    id2label = {i: f"L{i}" for i in range(6)}
+    for trial in range(400):
+        n = int(rng.integers(1, 10))
+        text = "".join(chr(ord("a") + int(rng.integers(0, 26)))
+                       for _ in range(n))
+        grid = {}
+        for _ in range(int(rng.integers(0, 18))):
+            r, c = int(rng.integers(0, n + 2)), int(rng.integers(0, n + 2))
+            grid[(r, c)] = int(rng.integers(1, 6))
+        got = w2ner_decode_grid(grid, n, text, id2label)
+        want = brute(grid, n, text, id2label)
+        assert got == want, (trial, grid, n, got ^ want)
