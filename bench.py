@@ -39,7 +39,7 @@ from fastie_spark.textops import REGISTRY  # noqa: E402
 HEADLINE = [
     "chunk_explode", "dedup_exact", "token_stats", "lang_id", "quality_score",
     "doc_fingerprint", "minhash_signature", "near_dup_pairs", "knn_cosine",
-    "micro_prf",
+    "micro_prf", "source_profile", "near_dup_clusters",
 ]
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"

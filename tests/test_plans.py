@@ -199,3 +199,12 @@ def test_link_dictionary_shuffle_fallback_plan(spark, vocab):
     plan = plan_of(link_mentions(mentions, linker, strategy="shuffle"))
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_near_dup_clusters_no_cross_product(spark):
+    """Cluster dedup composes the banded pair join + CC + one keyed corpus
+    join — no cartesian anywhere, and the corpus-side join is an equi-join
+    on doc_id."""
+    plan = plan_tree(REGISTRY["near_dup_clusters"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
