@@ -1028,17 +1028,42 @@ def source_profile(spark, sf_dir):
     so results are deterministic under any partitioning and the DuckDB
     oracle is bit-exact."""
     d = _docs(spark, sf_dir)
-    per_text = d.groupBy("source", F.md5("text").alias("h")).agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.length("text")).cast("long").alias("chars"),
+    # ONE corpus scan: pre-aggregate to (source, text-hash, lang) — every
+    # downstream aggregate derives from this intermediate. Both branches
+    # consume the IDENTICAL sub-plan, so Catalyst plans a ReusedExchange
+    # (plan-gated): the 100 TB table is read and shuffled exactly once and
+    # the branches replay shuffle FILES — no corpus-sized persist() pinning
+    # executor memory.
+    # DISK_ONLY persist: the intermediate drops the text payload (~3% of
+    # corpus bytes: source + 32-char hash + lang + two longs), so spilling
+    # it to local disk and replaying it for the three consumers is far
+    # cheaper than re-reading the text column per branch — and it never
+    # competes with executor memory the way a default MEMORY_AND_DISK
+    # cache would. (Catalyst does not plan a ReusedExchange here: each
+    # consumer re-optimizes the agg-over-agg chain differently, so without
+    # the persist the corpus would be scanned three times.)
+    from pyspark import StorageLevel
+
+    fine = (
+        d.filter(F.col("source").isNotNull())
+        .groupBy("source", F.md5("text").alias("h"), "lang")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.length("text")).cast("long").alias("chars"),
+        )
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    per_text = fine.groupBy("source", "h").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("chars").cast("long").alias("chars"),
     )
     base = per_text.groupBy("source").agg(
         F.sum("n").cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_distinct"),
         F.sum("chars").cast("long").alias("total_chars"),
     )
-    per_lang = d.groupBy("source", "lang").agg(
-        F.count("*").cast("long").alias("ln")
+    per_lang = fine.groupBy("source", "lang").agg(
+        F.sum("n").cast("long").alias("ln")
     )
     w = Window.partitionBy("source").orderBy(F.desc("ln"), F.asc("lang"))
     top = (

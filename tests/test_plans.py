@@ -208,3 +208,15 @@ def test_near_dup_clusters_no_cross_product(spark):
     plan = plan_tree(REGISTRY["near_dup_clusters"][0](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_profile_single_corpus_pass(spark):
+    """source_profile's three consumers must read the DISK_ONLY-persisted
+    (source, hash, lang) intermediate (InMemoryTableScan over the cached
+    relation), not re-scan the corpus per branch — the text column is read
+    exactly once."""
+    df = REGISTRY["source_profile"][0](spark, SF_DIR)
+    df.collect()  # materializes the cache
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "InMemoryTableScan" in final
