@@ -179,13 +179,25 @@ def main():
                       shuffle_partitions=cpus)
     synth_pages(spark, n_docs, pages_path)
 
-    qtimes = {}
+    # Per-query walls are MIN-OF-K single-query runs (default 3): this VM's
+    # co-tenant noise can double a single wall (round-4: near_dup_pairs
+    # read 2.38 -> 4.09 s on byte-identical code), and noise only ever
+    # SLOWS a run, so min-of-k converges to the true operator cost from
+    # above; the spread is carried alongside so a real regression (all k
+    # runs slow) is distinguishable from one polluted window.
+    q_runs = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "3"))
+    qtimes, qspread = {}, {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
-        df = fn(spark, sf_dir)
-        t0 = time.time()
-        _noop(df)
-        qtimes[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(q_runs):
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            _noop(df)
+            walls.append(round(time.time() - t0, 3))
+            release_caches()  # drop operator-persisted intermediates
+        qtimes[name] = min(walls)
+        qspread[name] = walls
     spark.stop()
 
     # KG end-to-end at the main parallelism (fresh subprocess)

@@ -55,7 +55,26 @@ def apply_config_defaults(parser, cfg: dict[str, Any], path: str) -> None:
             f"{path}: unknown config key(s) {unknown}; known: "
             f"{sorted(known - {'help'})}"
         )
-    parser.set_defaults(**cfg)
+    # set_defaults bypasses argparse's per-argument ``type=`` conversion
+    # (it only runs on command-line strings), so a string value for an
+    # int-typed flag would flow through untyped and fail deep inside the
+    # job instead of at parse time. Coerce string values through each
+    # action's type callable here, failing fast with the offending key.
+    by_dest = {a.dest: a for a in parser._actions}
+    coerced = {}
+    for key, val in cfg.items():
+        typ = by_dest[key].type
+        if typ is not None and isinstance(val, str):
+            try:
+                val = typ(val)
+            except (ValueError, TypeError) as ex:
+                raise SystemExit(
+                    f"{path}: invalid value for {key!r}: {val!r} "
+                    f"({typ.__name__ if hasattr(typ, '__name__') else typ}: "
+                    f"{ex})"
+                ) from ex
+        coerced[key] = val
+    parser.set_defaults(**coerced)
 
 
 def pop_config_arg(argv: list[str]) -> tuple[str | None, list[str]]:

@@ -25,6 +25,30 @@ _ASCII_RE = r"[^\x20-\x7E]"
 _SALTS = ["s0", "s1", "s2", "s3"]
 
 
+_LIVE_CACHES: list = []
+
+
+def _track_cache(df: DataFrame) -> DataFrame:
+    """Register a persisted intermediate for release_caches()."""
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate persisted by registry operators
+    (source_profile, curate_corpus). Those operators return LAZY frames, so
+    they cannot unpersist before the caller materializes; a long-lived
+    driver running many registry queries in one session (bench.py, the
+    driver's 40+-query parity sweep) calls this between queries so cached
+    relations don't accumulate for the session lifetime."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -1029,22 +1053,24 @@ def source_profile(spark, sf_dir):
     oracle is bit-exact."""
     d = _docs(spark, sf_dir)
     # ONE corpus scan: pre-aggregate to (source, text-hash, lang) — every
-    # downstream aggregate derives from this intermediate. Both branches
-    # consume the IDENTICAL sub-plan, so Catalyst plans a ReusedExchange
-    # (plan-gated): the 100 TB table is read and shuffled exactly once and
-    # the branches replay shuffle FILES — no corpus-sized persist() pinning
-    # executor memory.
+    # downstream aggregate derives from this intermediate.
     # DISK_ONLY persist: the intermediate drops the text payload (~3% of
     # corpus bytes: source + 32-char hash + lang + two longs), so spilling
     # it to local disk and replaying it for the three consumers is far
     # cheaper than re-reading the text column per branch — and it never
     # competes with executor memory the way a default MEMORY_AND_DISK
-    # cache would. (Catalyst does not plan a ReusedExchange here: each
-    # consumer re-optimizes the agg-over-agg chain differently, so without
-    # the persist the corpus would be scanned three times.)
+    # cache would. Catalyst does NOT plan a ReusedExchange here (each
+    # consumer re-optimizes the agg-over-agg chain differently), so
+    # without the persist the corpus would be scanned three times; the
+    # persist is the single-scan mechanism and is what the plan gate
+    # (tests/test_plans.py) asserts via InMemoryTableScan.
+    # Cache lifetime: the returned DataFrame is lazy, so this function
+    # cannot unpersist before the caller materializes — the persist is
+    # registered with release_caches(); long-lived drivers running many
+    # registry queries (bench, parity sweeps) call that between queries.
     from pyspark import StorageLevel
 
-    fine = (
+    fine = _track_cache(
         d.filter(F.col("source").isNotNull())
         .groupBy("source", F.md5("text").alias("h"), "lang")
         .agg(
@@ -1092,7 +1118,7 @@ SOURCE_PROFILE_SQL = """
 WITH per_text AS (
   SELECT source, md5(text) AS h, cast(count(*) AS BIGINT) AS n,
          cast(sum(length(text)) AS BIGINT) AS chars
-  FROM documents GROUP BY 1, 2
+  FROM documents WHERE source IS NOT NULL GROUP BY 1, 2
 ),
 base AS (
   SELECT source, cast(sum(n) AS BIGINT) AS n_docs,
@@ -1102,7 +1128,7 @@ base AS (
 ),
 per_lang AS (
   SELECT source, lang, cast(count(*) AS BIGINT) AS ln
-  FROM documents GROUP BY 1, 2
+  FROM documents WHERE source IS NOT NULL GROUP BY 1, 2
 ),
 top AS (
   SELECT source, lang AS top_lang, ln AS top_n

@@ -417,6 +417,14 @@ def run_uie_spark(spark, pages, vocab: Vocab, schema,
     texts = pages.select("url", "text")
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="uie_bfs_")
+    else:
+        # liveness touch on EVERY use: the resume fast path never rewrites
+        # parquet (mtime would stay at creation), so without this an
+        # age-based sweep in another session (__spark_entry__ prunes
+        # foreign dirs >6h old) could delete a live session's committed
+        # level checkpoints out from under a still-lazy DataFrame handle.
+        os.makedirs(work_dir, exist_ok=True)
+        os.utime(work_dir)
 
     def compose_child_prompt(child_name: str):
         """Column expr for the composed child prompt from F.col('span'),
@@ -446,12 +454,15 @@ def run_uie_spark(spark, pages, vocab: Vocab, schema,
     while node_by_path:
         ldir = os.path.join(work_dir, f"level_{level_idx}")
         # parameter fingerprint: a committed level is reusable only for the
-        # same node set + decode parameters (input identity is the caller's
-        # checkpoint contract, as with any checkpoint location)
+        # same node set + decode parameters + VOCAB identity (a vocab swap
+        # under an unchanged schema must invalidate committed levels —
+        # vocab.fingerprint() is the same content hash the executor model
+        # cache keys on). Input identity remains the caller's checkpoint
+        # contract, as with any checkpoint location.
         level_fp = hashlib.md5(_json.dumps({
             "paths": sorted(node_by_path), "max_length": max_length,
             "split": split_sentence, "prob": position_prob,
-            "en": is_english,
+            "en": is_english, "vocab": vocab.fingerprint(),
         }, sort_keys=True).encode()).hexdigest()
         man = read_manifest(work_dir, f"level_{level_idx}") if resume else {}
         if (man.get("completed") and man.get("fingerprint") == level_fp

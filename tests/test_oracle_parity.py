@@ -150,3 +150,36 @@ def test_stratified_sample_rates_honored(spark):
     for lang, n_kept in by_lang.items():
         frac = n_kept / totals[lang]
         assert abs(frac - rates[lang]) < 0.15, (lang, frac, rates[lang])
+
+
+def test_source_profile_null_source_parity(spark, tmp_path):
+    """Both sides must agree BY CONSTRUCTION on NULL sources (Spark filters
+    them; the SQL must too) — the sf fixtures have no NULLs, so this builds
+    a corpus that does and runs the full Spark-vs-DuckDB comparison on it."""
+    import duckdb as _duckdb
+
+    from fastie_spark.session import local_df
+    from fastie_spark.textops import SOURCE_PROFILE_SQL, source_profile
+
+    rows = [
+        (1, "alpha beta", "en", "crawl-a", 10),
+        (2, "alpha beta", "en", "crawl-a", 10),
+        (3, "gamma", "zh", "crawl-b", 5),
+        (4, "orphan doc", "en", None, 10),
+        (5, "another orphan", "zh", None, 14),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    d = str(tmp_path)
+    local_df(spark, rows, schema).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    sdf = source_profile(spark, d)
+    srows = [r.asDict() for r in sdf.collect()]
+    con = _duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{d}/documents.parquet/*.parquet')")
+    ddf = con.sql(SOURCE_PROFILE_SQL)
+    drows = [dict(zip(ddf.columns, r)) for r in ddf.fetchall()]
+    cols = sorted(sdf.columns)
+    assert len(srows) == len(drows) == 2
+    assert _norm(srows, cols) == _norm(drows, cols)
