@@ -288,26 +288,37 @@ FROM documents
 
 
 # ---------------------------------------------------------------- dedup: minhash
-def minhash_signature(spark, sf_dir):
-    """MinHash over 8-char shingles (stride 4), 4 salted hash families.
-    md5-string minima are engine-portable (no 64-bit hash parity issues).
-    Shape at scale: explode -> min-agg, both map-side combinable; the
-    shingle explosion never leaves the stage (partial min before shuffle)."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.lower(F.col("text")).alias("norm")
-    )
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, greatest(length(norm) - 7, 1), 4),"
-                   " p -> substring(norm, p, 8))")
-        ).alias("shingle"),
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(s)))).alias(f"mh{i}")
+def _minhash_cols() -> list:
+    """The 4 salted MinHash signature columns as PURE PROJECTIONS over a
+    ``norm`` (lowered text) column: per-doc min over the shingle set is a
+    row-local reduction, so ``array_min(transform(...))`` computes it with
+    NO explode and NO shuffle — the signature stage is whole-stage-codegen
+    and every consumer (banding self-join, curate_corpus) starts from an
+    unshuffled corpus scan. md5-string minima are engine-portable (no
+    64-bit hash parity issues)."""
+    return [
+        F.array_min(
+            F.expr(
+                "transform(sequence(1, greatest(length(norm) - 7, 1), 4),"
+                f" p -> md5(concat(substring(norm, p, 8), '{s}')))"
+            )
+        ).alias(f"mh{i}")
         for i, s in enumerate(_SALTS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signature(spark, sf_dir):
+    """MinHash over 8-char shingles (stride 4), 4 salted hash families —
+    shuffle-FREE: the per-doc minima are row-local array reductions
+    (_minhash_cols), so the plan is a single projection over the scan
+    (plan-gated: zero Exchange). The explode->partial-min->groupBy shape
+    this replaces paid one full corpus shuffle for the same values."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.lower(F.col("text")).alias("norm"))
+        .filter(F.col("norm").isNotNull())
+        .select("doc_id", *_minhash_cols())
+    )
 
 
 MINHASH_SIGNATURE_SQL = """

@@ -73,14 +73,14 @@ def test_dedup_exact_single_shuffle(spark):
     assert plan.count("HashAggregate") == 2
 
 
-def test_minhash_partial_aggregation(spark):
+def test_minhash_signature_is_shuffle_free(spark):
+    """The per-doc minima are row-local array reductions (array_min over
+    transform) — the signature stage must be a pure projection: zero
+    Exchange, no Generate (explode), no aggregate at all."""
     plan = plan_tree(REGISTRY["minhash_signature"][0](spark, SF_DIR))
-    # shingle explode must be followed by a partial min-agg BEFORE the one
-    # shuffle (string min -> SortAggregate); in the printed tree the partial
-    # aggregate is the deeper node, i.e. textually after the Exchange
-    assert plan.count("Exchange") == 1
-    assert "partial_min" in plan
-    assert plan.find("partial_min") > plan.find("Exchange")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "Aggregate" not in plan
 
 
 def test_knn_query_side_broadcast(spark):
