@@ -32,9 +32,15 @@ from fastie_spark.fixtures import (  # noqa: E402
     build_linker_dict,
     build_vocab,
 )
+from pyspark.sql import functions as F  # noqa: E402
+
 from fastie_spark.kg_job import run_kg_job  # noqa: E402
 from fastie_spark.session import get_spark, local_df  # noqa: E402
-from fastie_spark.textops import REGISTRY  # noqa: E402
+from fastie_spark.textops import (  # noqa: E402
+    REGISTRY,
+    curate_verdict,
+    release_caches,
+)
 
 HEADLINE = [
     "chunk_explode", "dedup_exact", "token_stats", "lang_id", "quality_score",
@@ -198,6 +204,31 @@ def main():
             release_caches()  # drop operator-persisted intermediates
         qtimes[name] = min(walls)
         qspread[name] = walls
+
+    # Composed curation chain (exact dedup -> LSH band-star CC keep-one ->
+    # quality/lang filter -> stratified sample) end-to-end over the SAME
+    # synthesized corpus the KG job runs on — the training-data-pipeline
+    # headline beside kg_triples_per_sec. min-of-2: run 1 pays the
+    # signature-cache build + CC warmup, run 2 is the steady state.
+    pages = spark.read.parquet(pages_path)
+    cur_docs = pages.select(
+        F.xxhash64("url").alias("doc_id"),
+        F.substring_index(F.substring_index("url", "/", 3), "//", -1)
+        .alias("source"),
+        "lang", "text",
+    )
+    cur_walls, cur_kept = [], 0
+    for _ in range(2):
+        t0 = time.time()
+        v = curate_verdict(cur_docs)
+        row = v.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        ).collect()[0]
+        cur_walls.append(round(time.time() - t0, 3))
+        release_caches()
+        cur_kept = row["kept"]
+    qtimes["curate_corpus_e2e"] = min(cur_walls)
     spark.stop()
 
     # KG end-to-end at the main parallelism (fresh subprocess)
@@ -213,6 +244,11 @@ def main():
         "kg_docs": n_docs,
         "kg_triples": main_run["n_triples"],
         "kg_triples_per_sec": round(main_run["triples_per_sec"], 1),
+        "query_walls_all_runs": qspread,
+        "curate_docs": n_docs,
+        "curate_docs_kept": int(cur_kept),
+        "curate_wall_sec": min(cur_walls),
+        "curate_docs_per_sec": round(n_docs / min(cur_walls), 1),
     }
 
     # LIVE N -> 4N gate pair: local[1] vs local[4] on a half-size input

@@ -375,24 +375,59 @@ FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
 """
 
 
+def _band_star_edges(sig):
+    """Reduce each LSH band bucket to a STAR on the bucket's min doc_id.
+
+    Every member of a band bucket is a mutual near-dup candidate — the
+    bucket is a complete graph — but connected components only need the
+    bucket to be CONNECTED, and the star (bucket-min -> each member) gives
+    exactly the same components as the complete graph. Edge count drops
+    from sum(|bucket|^2)/2 to sum(|bucket| - 1): on templated/boilerplate
+    web corpora giant buckets are the NORM (measured: 50k synthesized
+    pages -> a 1,061-doc bucket, ~3M pairwise candidates), so the star
+    reduction is the difference between linear work and a quadratic
+    self-join blowup at 100 TB. One window shuffle keyed band; no join.
+
+    sig: frame with doc_id + mh0..mh3 signature columns."""
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat_ws("|", F.lit("0"), "mh0", "mh1"),
+                F.concat_ws("|", F.lit("1"), "mh2", "mh3"),
+            )
+        ).alias("band"),
+    )
+    w = Window.partitionBy("band")
+    return (
+        bands.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def near_dup_clusters(spark, sf_dir):
     """Cluster-level near-dup dedup — the keep-one-per-cluster step a real
-    corpus pipeline runs AFTER pair generation: LSH candidate pairs
-    (near_dup_pairs) -> connected components over the pair graph (cc.py:
-    driver union-find when tiny, distributed label-prop + pointer jumping
-    at scale) -> every doc labeled with its cluster id (= min doc_id in the
-    component; singletons are their own cluster) and an is_canonical flag
-    (training keeps exactly the canonical rows).
+    corpus pipeline runs AFTER candidate generation: LSH band buckets ->
+    star edges (_band_star_edges — same components as the all-pairs
+    candidate graph at linear instead of quadratic edge count) ->
+    connected components (cc.py: driver union-find when tiny, distributed
+    label-prop + pointer jumping at scale) -> every doc labeled with its
+    cluster id (= min doc_id in the component; singletons are their own
+    cluster) and an is_canonical flag (training keeps exactly the
+    canonical rows).
 
-    Scale shape: the pair graph is orders of magnitude smaller than the
-    corpus (only band-colliding docs appear), so the CC loop runs on the
-    small table; the corpus is touched by one final left join keyed
-    doc_id. No cross products anywhere."""
+    Scale shape: the edge graph is linear in the band table and orders of
+    magnitude smaller than the corpus, so the CC loop runs on the small
+    table; the corpus is touched by one final left join keyed doc_id. No
+    cross products anywhere. The DuckDB oracle still clusters over the
+    PAIRWISE candidate graph (near_dup_pairs) — star and complete bucket
+    graphs have identical components, which this parity proves per run."""
     from .cc import connected_components
 
-    pairs = near_dup_pairs(spark, sf_dir)
     comp = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        _band_star_edges(minhash_signature(spark, sf_dir))
     )
     d = _docs(spark, sf_dir).select("doc_id")
     return (
@@ -1158,6 +1193,224 @@ JOIN top t ON t.source = b.source
 """
 
 
+# ------------------------------------------------- composed curation pipeline
+def _curate_base(d):
+    """ONE corpus text scan projected to everything the curation chain
+    needs: identity/strata columns, the exact-dedup hash, quality,
+    predicted language, and the 4 shuffle-free MinHash signature columns
+    (_minhash_cols). The projection drops the text payload (five 32-char
+    hashes + small scalars per row, a few % of corpus bytes) and is
+    persisted DISK_ONLY, so every downstream stage — exact-winner window,
+    LSH band-star edges, verdict assembly — replays the slim intermediate
+    instead of re-reading 100 TB of text. Registered with
+    release_caches(); long-lived drivers release between queries.
+
+    d: any frame with (doc_id long, source string, lang string,
+    text string) — the registry entry reads the sf documents table; the
+    bench runs the same chain over the 600k synthesized pages corpus."""
+    from pyspark import StorageLevel
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT_RE), 0))
+    ascii_n = F.length(F.regexp_replace(F.col("text"), _ASCII_RE, ""))
+    return _track_cache(
+        d.select(
+            "doc_id", "source", "lang",
+            F.lower(F.col("text")).alias("norm"),
+            F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"),
+            n_chars.cast("long").alias("n_chars_obs"),
+            F.round(
+                F.least(n_chars, F.lit(2000)) / 2000.0
+                * (1.0 - n_punct / F.greatest(n_chars, F.lit(1))),
+                6,
+            ).alias("quality"),
+            F.when(n_chars == 0, F.lit("unk"))
+            .when(ascii_n / n_chars > 0.65, F.lit("en"))
+            .otherwise(F.lit("zh"))
+            .alias("pred_lang"),
+        )
+        .select(
+            "doc_id", "source", "lang", "text_hash", "n_chars_obs",
+            "quality", "pred_lang", *_minhash_cols(),
+        )
+        .persist(StorageLevel.DISK_ONLY)
+    )
+
+
+def curate_verdict(docs):
+    """The end-to-end training-data curation chain as ONE DAG over ONE
+    corpus scan — the data-pipeline analogue of the fused KG job: exact
+    dedup -> MinHash/LSH band-star edges -> connected-component keep-one
+    clustering -> quality/lang admission -> stratified sampling, emitting
+    one verdict row per document:
+
+      is_exact_winner  min doc_id of the normalized-text hash group
+      cluster_id       min doc_id of the LSH near-dup component
+                       (singleton docs are their own cluster)
+      is_canonical     the cluster's keep-one representative
+      keep             admitted to the training corpus: exact winner AND
+                       canonical AND quality > 0.05 AND confident lang-id
+      in_sample        kept AND selected by the per-language stratified
+                       hash sampler (same rule as stratified_sample)
+
+    Scale shape: the corpus text column is read ONCE into the slim
+    persisted _curate_base (plan-gated); the exact-winner flag is a window
+    over text_hash (one shuffle of the slim base, no join-back); the
+    near-dup graph is _band_star_edges over the CACHED signature columns —
+    linear in corpus size even when templated text makes band buckets
+    giant, and no recompute of minhash from raw text (the round-4
+    verdict's recompute finding); CC runs on the small edge graph only
+    (cc.py adaptive); the verdict is one doc_id-keyed left join of the
+    component table. Every stage is an equi-join or window — no cross
+    products (plan-gated)."""
+    from .cc import connected_components
+
+    base = _curate_base(docs)
+    comp = connected_components(_band_star_edges(base))
+    strat_h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                       F.col("lang"), F.lit("|strat"))), 1, 2
+    )
+    strat_thresh = (
+        F.when(F.length("lang") % 3 == 0, "40")
+        .when(F.length("lang") % 3 == 1, "80")
+        .otherwise("c0")
+    )
+    win = Window.partitionBy("text_hash")
+    return (
+        base.withColumn("win_id", F.min("doc_id").over(win))
+        .join(
+            comp.select(F.col("node").alias("doc_id"),
+                        F.col("component").alias("comp")),
+            "doc_id", "left",
+        )
+        .select(
+            "doc_id", "source", "lang", "pred_lang", "quality", "n_chars_obs",
+            F.coalesce("comp", F.col("doc_id")).cast("long").alias("cluster_id"),
+            (F.col("doc_id") == F.col("win_id")).alias("is_exact_winner"),
+            (F.col("doc_id") == F.coalesce("comp", F.col("doc_id")))
+            .alias("is_canonical"),
+        )
+        .withColumn(
+            "keep",
+            F.col("is_exact_winner") & F.col("is_canonical")
+            & (F.col("quality") > 0.05) & (F.col("pred_lang") != "unk"),
+        )
+        .withColumn("in_sample", F.col("keep") & (strat_h < strat_thresh))
+    )
+
+
+def curate_corpus(spark, sf_dir):
+    """Registry entry: curate_verdict over the sf documents table."""
+    return curate_verdict(
+        _docs(spark, sf_dir).select("doc_id", "source", "lang", "text")
+    )
+
+
+CURATE_CORPUS_SQL = f"""
+WITH RECURSIVE sig AS ({MINHASH_SIGNATURE_SQL}),
+bnd AS (
+  SELECT doc_id, '0|' || mh0 || '|' || mh1 AS band FROM sig
+  UNION ALL
+  SELECT doc_id, '1|' || mh2 || '|' || mh3 AS band FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b2.doc_id AS v
+  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
+),
+ed AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM ed
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN ed e ON e.u = r.v WHERE e.v <> r.u
+),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+feat AS (
+  SELECT doc_id, source, lang,
+         md5(lower(trim(text))) AS text_hash,
+         cast(length(text) AS BIGINT) AS n_chars_obs,
+         round(least(length(text), 2000) / 2000.0
+               * (1.0 - length(regexp_extract_all(text, '{_PUNCT_RE}'))
+                        / cast(greatest(length(text), 1) AS DOUBLE)), 6)
+           AS quality,
+         CASE WHEN length(text) = 0 THEN 'unk'
+              WHEN length(regexp_replace(text, '{_ASCII_RE}', '', 'g'))
+                   / cast(length(text) AS DOUBLE) > 0.65 THEN 'en'
+              ELSE 'zh' END AS pred_lang,
+         min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS win_id
+  FROM documents
+),
+verdict AS (
+  SELECT f.doc_id, f.source, f.lang, f.pred_lang, f.quality, f.n_chars_obs,
+         cast(coalesce(c.component, f.doc_id) AS BIGINT) AS cluster_id,
+         f.doc_id = f.win_id AS is_exact_winner,
+         f.doc_id = coalesce(c.component, f.doc_id) AS is_canonical,
+         (f.doc_id = f.win_id)
+           AND (f.doc_id = coalesce(c.component, f.doc_id))
+           AND f.quality > 0.05 AND f.pred_lang <> 'unk' AS keep,
+         f.lang AS strat_lang
+  FROM feat f LEFT JOIN comp c ON c.node = f.doc_id
+)
+SELECT doc_id, source, lang, pred_lang, quality, n_chars_obs, cluster_id,
+       is_exact_winner, is_canonical, keep,
+       keep AND substring(md5(cast(doc_id AS VARCHAR) || '|' || strat_lang
+                              || '|strat'), 1, 2)
+                < CASE WHEN length(strat_lang) % 3 = 0 THEN '40'
+                       WHEN length(strat_lang) % 3 = 1 THEN '80'
+                       ELSE 'c0' END AS in_sample
+FROM verdict
+"""
+
+
+def curate_report(spark, sf_dir):
+    """Per-source curation report over the curate_corpus verdicts — what a
+    crawl operator reads after the chain runs: volumes, how much each
+    dedup/filter stage kept, sampling yield, and mean admitted quality.
+
+    Determinism: every aggregate is an integer count except
+    avg_quality_kept, which sums quality in exact integer micro-units
+    (quality is already rounded to 6 decimals, so round(q*1e6) is a lossless
+    long) and divides once at the end — bit-identical under any
+    partitioning and to the DuckDB oracle."""
+    v = curate_corpus(spark, sf_dir)
+    q6 = F.round(F.col("quality") * 1000000).cast("long")
+    n_kept = F.sum(F.col("keep").cast("long"))
+    return v.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("is_exact_winner").cast("long")).alias("n_exact_winners"),
+        F.sum(F.col("is_canonical").cast("long")).alias("n_canonical"),
+        n_kept.alias("n_kept"),
+        F.sum(F.col("in_sample").cast("long")).alias("n_sampled"),
+        F.round(F.sum(F.col("keep").cast("long")) / F.count("*"), 6)
+        .alias("keep_rate"),
+        F.round(
+            F.sum(F.when(F.col("keep"), q6).otherwise(F.lit(0)))
+            / F.greatest(n_kept, F.lit(1)) / 1000000.0,
+            6,
+        ).alias("avg_quality_kept"),
+    )
+
+
+CURATE_REPORT_SQL = f"""
+WITH v AS ({CURATE_CORPUS_SQL})
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN is_exact_winner THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_winners,
+       cast(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_canonical,
+       cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       cast(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / cast(count(*) AS DOUBLE),
+             6) AS keep_rate,
+       round(sum(CASE WHEN keep THEN cast(round(quality * 1000000) AS BIGINT)
+                      ELSE 0 END)
+             / cast(greatest(sum(CASE WHEN keep THEN 1 ELSE 0 END), 1)
+                    AS DOUBLE)
+             / 1000000.0, 6) AS avg_quality_kept
+FROM v GROUP BY source
+"""
+
+
 REGISTRY: dict = {
     "chunk_stats": (chunk_stats, CHUNK_STATS_SQL),
     "chunk_explode": (chunk_explode, CHUNK_EXPLODE_SQL),
@@ -1191,4 +1444,6 @@ REGISTRY: dict = {
     "corpus_filter": (corpus_filter, CORPUS_FILTER_SQL),
     "source_profile": (source_profile, SOURCE_PROFILE_SQL),
     "near_dup_clusters": (near_dup_clusters, NEAR_DUP_CLUSTERS_SQL),
+    "curate_corpus": (curate_corpus, CURATE_CORPUS_SQL),
+    "curate_report": (curate_report, CURATE_REPORT_SQL),
 }
