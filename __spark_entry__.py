@@ -303,8 +303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         media = s.read.parquet(ensure_media_parquet())
         return audio_stats_op(media).select(
-            "media_id", "sample_rate", "n_samples",
+            "media_id", "sample_rate", "n_channels", "n_samples",
             F.round("rms", 6).alias("rms"),
+            "peak_abs", "rms_per_channel",
         )
 
     q["audio_stats"] = audio_stats
@@ -982,37 +983,57 @@ FROM stats
 
 
 def _audio_stats_sql() -> str:
+    # n_channels comes from fmt bytes 23-24; per-channel separation uses
+    # the interleaved frame-major layout: sample k belongs to channel
+    # k % n_channels. All stats stay integer sums divided in double last,
+    # mirroring the numpy formulation for mono AND stereo clips.
     return "WITH " + _hex_bytes_cte("audio") + r""",
 hdr AS (
   SELECT media_id,
+    cast(sum(CASE i WHEN 23 THEN v WHEN 24 THEN v*256 END) AS INT) AS ch,
     cast(sum(CASE i WHEN 25 THEN v WHEN 26 THEN v*256
                     WHEN 27 THEN v*65536 WHEN 28 THEN v*16777216 END)
       AS INT) AS sr,
     cast(sum(CASE i WHEN 41 THEN v WHEN 42 THEN v*256
                     WHEN 43 THEN v*65536 WHEN 44 THEN v*16777216 END)
       AS BIGINT) AS dsize
-  FROM b WHERE i BETWEEN 25 AND 44 GROUP BY 1
+  FROM b WHERE i BETWEEN 23 AND 44 GROUP BY 1
 ),
 raw AS (
-  SELECT b.media_id, (b.i - 45) // 2 AS k,
+  SELECT b.media_id, (b.i - 45) // 2 AS k, min(hdr.ch) AS ch,
          cast(sum(CASE WHEN (b.i - 45) % 2 = 0 THEN b.v ELSE b.v * 256 END)
            AS BIGINT) AS u
   FROM b JOIN hdr USING (media_id)
-  WHERE b.i >= 45 AND b.i < 45 + hdr.dsize
+  WHERE b.i >= 45 AND b.i < 45 + hdr.dsize - (hdr.dsize % (2 * hdr.ch))
   GROUP BY 1, 2
 ),
 sv AS (
-  SELECT media_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  SELECT media_id, k % ch AS channel,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
   FROM raw
 ),
 astat AS (
   SELECT media_id, cast(count(*) AS BIGINT) AS n,
-         cast(sum(s * s) AS BIGINT) AS sq
+         cast(sum(s * s) AS BIGINT) AS sq,
+         cast(max(abs(s)) AS BIGINT) AS peak_abs
   FROM sv GROUP BY 1
+),
+chstat AS (
+  SELECT media_id, channel, cast(count(*) AS BIGINT) AS cn,
+         cast(sum(s * s) AS BIGINT) AS csq
+  FROM sv GROUP BY 1, 2
+),
+chlist AS (
+  SELECT media_id,
+         list(round(sqrt(csq / cast(cn AS DOUBLE)) / 32768.0, 6)
+              ORDER BY channel) AS rms_per_channel
+  FROM chstat GROUP BY 1
 )
-SELECT a.media_id, h.sr AS sample_rate, a.n AS n_samples,
-       round(sqrt(sq / cast(n AS DOUBLE)) / 32768.0, 6) AS rms
-FROM astat a JOIN hdr h USING (media_id)
+SELECT a.media_id, h.sr AS sample_rate, h.ch AS n_channels,
+       a.n AS n_samples,
+       round(sqrt(sq / cast(n AS DOUBLE)) / 32768.0, 6) AS rms,
+       a.peak_abs, c.rms_per_channel
+FROM astat a JOIN hdr h USING (media_id) JOIN chlist c USING (media_id)
 """
 
 

@@ -77,12 +77,16 @@ def encode_pgm(px: np.ndarray) -> bytes:
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """int16 mono samples -> canonical 44-byte-header RIFF/WAVE PCM."""
-    data = samples.astype("<i2").tobytes()
+    """int16 samples -> canonical 44-byte-header RIFF/WAVE PCM.
+    1-D input = mono; (n_frames, n_channels) input is interleaved
+    frame-major, the standard WAV channel layout."""
+    arr = np.asarray(samples)
+    ch = 1 if arr.ndim == 1 else arr.shape[1]
+    data = arr.astype("<i2").tobytes()  # C-order == interleaved frames
     return (
         b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
-                                sample_rate * 2, 2, 16)
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate,
+                                sample_rate * 2 * ch, 2 * ch, 16)
         + b"data" + struct.pack("<I", len(data)) + data
     )
 
@@ -163,13 +167,16 @@ def decode_pgm(payload: bytes) -> np.ndarray:
 
 
 def decode_wav(payload: bytes):
-    """-> (sample_rate, int16 samples, raw_data_bytes). Walks RIFF chunks
-    (fmt may not be directly followed by data in real files).
+    """-> (sample_rate, int16 interleaved samples, raw_data_bytes,
+    n_channels). Walks RIFF chunks (fmt may not be directly followed by
+    data in real files). Multi-channel PCM is accepted and returned
+    INTERLEAVED frame-major (the on-disk layout) with n_channels reported;
+    consumers de-interleave with samples.reshape(-1, n_channels).
     raw_data_bytes = the data chunk's byte length as stored (so 8-bit and
     16-bit clips report their true on-disk payload size)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE")
-    pos, sr, bits, data = 12, None, None, None
+    pos, sr, bits, ch, data = 12, None, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
@@ -179,10 +186,8 @@ def decode_wav(payload: bytes):
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt_tag != 1:
                 raise NotImplementedError(f"only PCM WAV (fmt={fmt_tag})")
-            if ch != 1:
-                # interleaved multi-channel treated as mono would silently
-                # corrupt n_samples/RMS — refuse, like y4m refuses C420
-                raise NotImplementedError(f"only mono PCM (got {ch} channels)")
+            if ch < 1:
+                raise ValueError("fmt chunk declares 0 channels")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
@@ -195,7 +200,9 @@ def decode_wav(payload: bytes):
                    - 128) * 256
     else:
         raise NotImplementedError(f"only 8/16-bit PCM (got {bits})")
-    return int(sr), samples, len(data)
+    # drop a ragged tail (truncated final frame) so reshape(-1, ch) is safe
+    n_full = (len(samples) // ch) * ch
+    return int(sr), samples[:n_full], len(data), int(ch)
 
 
 def decode_y4m(payload: bytes):
@@ -280,9 +287,12 @@ def build_real_media_rows(n: int = 90, seed: int = 42) -> list[dict]:
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload = encode_bmp(px) if (i // 3) % 2 == 0 else encode_ppm(px)
             rows.append({"media_id": i, "kind": "image", "payload": payload})
-        elif m == 1:  # audio
+        elif m == 1:  # audio; every third clip is stereo (the most
+            # common real-crawl media shape - round-4 verdict item 4)
             sr = 8000 + (i % 2) * 8000
-            samples = rng.integers(-20000, 20000, size=sr // 4,
+            ch = 2 if (i // 3) % 3 == 2 else 1
+            shape = (sr // 4, ch) if ch > 1 else (sr // 4,)
+            samples = rng.integers(-20000, 20000, size=shape,
                                    dtype=np.int16)
             rows.append({"media_id": i, "kind": "audio",
                          "payload": encode_wav(samples, sr)})
@@ -320,6 +330,7 @@ def decode_media(payload: bytes) -> dict:
             out["samples"] = (
                 np.frombuffer(body, dtype=np.uint8).astype(np.int16) - 128
             ) * 256
+            out["n_channels"] = 1
         else:
             flen = max(len(body) // nf, 1) if nf else len(body)
             out["frames"] = [
@@ -342,10 +353,10 @@ def decode_media(payload: bytes) -> dict:
                 "height": px.shape[0], "sample_rate": 0, "n_frames": 0,
                 "n_bytes": px.size, "pixels": px}
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-        sr, samples, data_bytes = decode_wav(p)
+        sr, samples, data_bytes, ch = decode_wav(p)
         return {"kind": "audio", "fmt": "wav", "width": 0, "height": 0,
                 "sample_rate": sr, "n_frames": 0, "n_bytes": data_bytes,
-                "samples": samples}
+                "samples": samples, "n_channels": ch}
     if p[:9] == b"YUV4MPEG2":
         w, h, frames = decode_y4m(p)
         return {"kind": "video", "fmt": "y4m", "width": w, "height": h,
@@ -471,7 +482,11 @@ def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
 
 def audio_features(media: DataFrame, frame_len: int = 400) -> DataFrame:
     """Framed RMS energy over the decoded sample stream (int16 scale,
-    normalized by 32768) -> one array<double> feature vector per clip."""
+    normalized by 32768) -> one array<double> feature vector + peak level
+    per (clip, channel). Multi-channel clips are de-interleaved first
+    (decode_wav returns the frame-major on-disk layout), so a stereo clip
+    yields two rows with channel 0/1 — frame_len counts per-channel
+    samples, matching what a mono resample of that channel would give."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -480,22 +495,35 @@ def audio_features(media: DataFrame, frame_len: int = 400) -> DataFrame:
                 d = decode_media(payload)
                 if d["kind"] != "audio":
                     continue
-                x = d["samples"].astype(np.float64) / 32768.0
-                n = len(x) // frame_len
-                rms = [
-                    float(np.sqrt(np.mean(x[i * frame_len:(i + 1) * frame_len] ** 2)))
-                    for i in range(n)
-                ]
-                rows.append((int(mid), rms))
-            yield pd.DataFrame(rows, columns=["media_id", "rms"])
+                ch = d.get("n_channels", 1)
+                planes = d["samples"].reshape(-1, ch)
+                for c in range(ch):
+                    x = planes[:, c].astype(np.float64) / 32768.0
+                    n = len(x) // frame_len
+                    rms = [
+                        float(np.sqrt(np.mean(
+                            x[i * frame_len:(i + 1) * frame_len] ** 2)))
+                        for i in range(n)
+                    ]
+                    peak = float(np.abs(x).max()) if len(x) else 0.0
+                    rows.append((int(mid), c, rms, peak))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "channel", "rms", "peak"]
+            )
 
-    return media.mapInPandas(fn, schema="media_id long, rms array<double>")
+    return media.mapInPandas(
+        fn, schema="media_id long, channel int, rms array<double>, "
+                   "peak double"
+    )
 
 
 def audio_stats(media: DataFrame) -> DataFrame:
     """Whole-clip stats from the decoded sample stream: sample_rate,
-    n_samples, full-clip RMS (int16 scale / 32768). Integer-sum RMS =>
-    bit-identical to the SQL oracle's byte arithmetic."""
+    n_channels, n_samples (total interleaved, all channels), full-clip RMS
+    (int16 scale / 32768), integer peak |sample|, and per-channel RMS
+    (channel order). All sums are exact int64 divided in double at the
+    end => bit-identical to the SQL oracle's byte arithmetic for mono AND
+    stereo clips."""
     import math
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -505,18 +533,32 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 d = decode_media(payload)
                 if d["kind"] != "audio":
                     continue
+                ch = d.get("n_channels", 1)
                 x = d["samples"].astype(np.int64)
                 n = int(x.size)
                 sq = int((x * x).sum())
                 rms = math.sqrt(sq / n) / 32768.0 if n else 0.0
-                rows.append((int(mid), d["sample_rate"], n, rms))
+                peak = int(np.abs(x).max()) if n else 0
+                planes = x.reshape(-1, ch)
+                per_ch = []
+                for c in range(ch):
+                    csq = int((planes[:, c] * planes[:, c]).sum())
+                    cn = planes.shape[0]
+                    per_ch.append(
+                        round(math.sqrt(csq / cn) / 32768.0, 6) if cn else 0.0
+                    )
+                rows.append((int(mid), d["sample_rate"], ch, n, rms, peak,
+                             per_ch))
             yield pd.DataFrame(
-                rows, columns=["media_id", "sample_rate", "n_samples", "rms"],
+                rows, columns=["media_id", "sample_rate", "n_channels",
+                               "n_samples", "rms", "peak_abs",
+                               "rms_per_channel"],
             )
 
     return media.mapInPandas(
-        fn, schema="media_id long, sample_rate int, n_samples long, "
-                   "rms double"
+        fn, schema="media_id long, sample_rate int, n_channels int, "
+                   "n_samples long, rms double, peak_abs long, "
+                   "rms_per_channel array<double>"
     )
 
 

@@ -58,8 +58,8 @@ def test_pnm_roundtrip_and_comments():
 def test_wav_roundtrip_and_8bit():
     rng = np.random.default_rng(3)
     s = rng.integers(-30000, 30000, size=1234, dtype=np.int16)
-    sr, got, nbytes = decode_wav(encode_wav(s, 16000))
-    assert sr == 16000 and (got == s).all()
+    sr, got, nbytes, ch = decode_wav(encode_wav(s, 16000))
+    assert sr == 16000 and (got == s).all() and ch == 1
     assert nbytes == 2 * 1234  # stored data-chunk bytes, not sample count
     # 8-bit unsigned PCM decodes onto the int16 scale
     import struct
@@ -68,21 +68,27 @@ def test_wav_roundtrip_and_8bit():
     wav8 = (b"RIFF" + struct.pack("<I", 36 + 3) + b"WAVE"
             + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
             + b"data" + struct.pack("<I", 3) + body)
-    sr, got, nbytes = decode_wav(wav8)
-    assert sr == 8000 and list(got) == [-32768, 0, 32512]
+    sr, got, nbytes, ch = decode_wav(wav8)
+    assert sr == 8000 and list(got) == [-32768, 0, 32512] and ch == 1
     assert nbytes == 3  # true on-disk bytes for the 8-bit clip
 
 
-def test_wav_multichannel_refused():
-    # stereo interleaved-as-mono would silently corrupt n_samples/RMS —
-    # must refuse like y4m refuses C420 (round-3 ADVICE)
+def test_wav_stereo_roundtrip():
+    # stereo PCM decodes with channels intact: interleaved frame-major on
+    # disk, de-interleavable via reshape(-1, ch) (round-4 verdict item 4 -
+    # was a refusal, now real channel handling)
+    rng = np.random.default_rng(5)
+    st = rng.integers(-30000, 30000, size=(500, 2), dtype=np.int16)
+    sr, got, nbytes, ch = decode_wav(encode_wav(st, 8000))
+    assert sr == 8000 and ch == 2 and nbytes == 2000
+    assert (got.reshape(-1, 2) == st).all()
+    # a truncated final frame (ragged tail) is dropped, not misassigned
+    payload = bytearray(encode_wav(st, 8000))
     import struct
 
-    stereo = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
-              + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
-              + b"data" + struct.pack("<I", 4) + bytes(4))
-    with pytest.raises(NotImplementedError, match="channels"):
-        decode_wav(stereo)
+    payload[40:44] = struct.pack("<I", 1998)  # data size: half a frame less
+    sr2, got2, nb2, ch2 = decode_wav(bytes(payload[:len(payload) - 2]))
+    assert ch2 == 2 and len(got2) == 998 and (got2 == st.reshape(-1)[:998]).all()
 
 
 def test_pnm_wide_maxval_refused():
@@ -167,10 +173,12 @@ def test_frame_sample_counts(spark, media):
 
 def test_audio_features_shape(spark, media):
     rows = audio_features(media).collect()
-    assert len(rows) == 20
+    assert len(rows) == 20  # fake fmm0 clips are mono: one row per clip
     for r in rows:
+        assert r["channel"] == 0
         assert len(r["rms"]) in (20, 40)  # 8000 or 16000 samples / 400
         assert all(0.0 <= v <= 1.0 for v in r["rms"])
+        assert 0.0 <= r["peak"] <= 1.0
 
 
 # ------------------------------------------------ operators on REAL media
@@ -212,7 +220,9 @@ def test_real_image_features_match_numpy(spark, real_media):
 
 def test_real_audio_and_video_ops(spark, real_media):
     a = audio_features(real_media, frame_len=500).collect()
-    assert len(a) == 30
+    # 20 mono clips + 10 stereo clips x 2 channels = 40 (clip, channel) rows
+    assert len(a) == 40
+    assert sum(1 for r in a if r["channel"] == 1) == 10
     assert all(0.0 <= v <= 1.0 for r in a for v in r["rms"])
     f = frame_sample(real_media, every_k=2).collect()
     metas = {r["media_id"]: r for r in parse_meta(real_media).collect()}
