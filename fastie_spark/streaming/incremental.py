@@ -78,7 +78,8 @@ def run_streaming_kg_pipeline(
     ttl: str = "1 hour",
     watermark_delay: str = "10 minutes",
     n_buckets: int = 8,
-) -> None:
+    max_files_per_trigger: int | None = None,
+):
     """The CONTINUOUS composition of the whole engine: pages stream ->
     event-time-TTL dedup (stateful, recrawl-freshness contract) -> fused
     extraction -> broadcast linking -> manifest-committed materialization.
@@ -93,7 +94,15 @@ def run_streaming_kg_pipeline(
     tests/test_streaming.py by replaying a committed epoch."""
     from .stateful import dedup_stream_ttl
 
-    stream = spark.readStream.schema(PAGES_DDL).parquet(input_dir)
+    reader = spark.readStream.schema(PAGES_DDL)
+    if max_files_per_trigger is not None:
+        # micro-batch sizing knob: availableNow drains the backlog in
+        # bounded batches instead of one giant epoch — what a production
+        # operator tunes for latency/throughput, and what the streaming
+        # bench (jobs/streaming_bench.py) uses to measure sustained
+        # per-batch throughput and state growth
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     deduped = dedup_stream_ttl(stream, ttl=ttl,
                                watermark_delay=watermark_delay)
 
@@ -127,6 +136,7 @@ def run_streaming_kg_pipeline(
         .start()
     )
     q.awaitTermination()
+    return q  # terminated; recentProgress carries per-batch metrics
 
 
 def mention_rate(pages_stream: DataFrame, window: str = "1 minute",
