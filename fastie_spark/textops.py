@@ -345,14 +345,24 @@ def near_dup_pairs(spark, sf_dir):
     its two (band_idx, band_key) rows and the join key is the pair, so both
     bands ride a single shuffle; at scale this is the classic band-bucket
     join and skewed buckets (boilerplate docs) are AQE-skew-handled."""
-    sig = minhash_signature(spark, sf_dir).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.concat_ws("|", F.lit("0"), "mh0", "mh1"),
-                F.concat_ws("|", F.lit("1"), "mh2", "mh3"),
-            )
-        ).alias("band"),
+    # repartition by band BEFORE the self-join: the signature stage is now
+    # a pure projection (no Exchange), so without this both join branches
+    # would recompute the md5 minhash work per side; the explicit band
+    # shuffle of the SLIM (doc_id, band) table becomes a ReusedExchange
+    # feeding both sides - one signature pass + one slim shuffle, the
+    # cheapest possible shape (plan-gated in tests/test_plans.py)
+    sig = (
+        minhash_signature(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.concat_ws("|", F.lit("0"), "mh0", "mh1"),
+                    F.concat_ws("|", F.lit("1"), "mh2", "mh3"),
+                )
+            ).alias("band"),
+        )
+        .repartition("band")
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -398,12 +408,82 @@ def _band_star_edges(sig):
             )
         ).alias("band"),
     )
-    w = Window.partitionBy("band")
+    # bucket-min via groupBy + join back, NOT a window: min() is map-side
+    # combinable, so a giant boilerplate bucket partial-aggregates inside
+    # every input partition instead of funneling its full row set through
+    # ONE window task (measured: the window form made one task carry the
+    # ~500k-row hot band at 600k docs); the join back is one-sided skew
+    # (reps has one row per band) which AQE's skew split handles
+    reps = bands.groupBy("band").agg(F.min("doc_id").alias("rep"))
     return (
-        bands.withColumn("rep", F.min("doc_id").over(w))
+        bands.join(reps, "band")
         .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
         .dropDuplicates(["src", "dst"])
+    )
+
+
+def _band_components(sig):
+    """(doc_id, component) for the LSH near-dup graph, via REP-GRAPH
+    contraction — the second reduction on top of _band_star_edges' star
+    idea: every doc touches at most 2 bucket reps (one per band), and two
+    docs are connected iff their reps are connected, so the connected
+    components only need to run on the graph whose NODES are bucket reps
+    and whose edges are the distinct (min-rep, max-rep) pairs of docs
+    whose two bands landed in different buckets. That graph is orders of
+    magnitude smaller than the member edge set (measured at 600k
+    templated pages: 1.03M member edges -> a few thousand rep edges), so
+    CC cost stops scaling with corpus size entirely; every stage before
+    it is a map-side-combinable aggregate or a one-sided-skew equi-join.
+
+    Component ids still equal the MIN doc_id of the full component: a
+    component's minimum doc is its own bucket's rep, so min over member
+    docs == min over reps, which is exactly what cc.py emits.
+
+    Returns one row per doc that shares a bucket with any other doc
+    (singleton-bucket docs are omitted — callers coalesce to doc_id)."""
+    from .cc import connected_components
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat_ws("|", F.lit("0"), "mh0", "mh1"),
+                F.concat_ws("|", F.lit("1"), "mh2", "mh3"),
+            )
+        ).alias("band"),
+    )
+    reps = bands.groupBy("band").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("bn")
+    )
+    # keep only buckets that connect something (bn > 1) — singleton
+    # buckets add no edges and would bloat the per-doc aggregate
+    mem = (
+        bands.join(reps.filter(F.col("bn") > 1).select("band", "rep"),
+                   "band")
+        .select("doc_id", "rep")
+    )
+    per_doc = mem.groupBy("doc_id").agg(
+        F.min("rep").alias("r1"), F.max("rep").alias("r2")
+    )
+    rep_edges = (
+        per_doc.filter(F.col("r1") != F.col("r2"))
+        .select(F.col("r1").alias("src"), F.col("r2").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    comp_rep = connected_components(rep_edges)
+    return (
+        per_doc.join(
+            # no broadcast hint: the comp table is tiny on templated
+            # corpora but can approach bucket-cardinality on diverse ones;
+            # AQE picks broadcast when it actually is small
+            comp_rep.select(F.col("node").alias("r1"), "component"),
+            "r1", "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("r1")).alias("component"),
+        )
     )
 
 
@@ -424,16 +504,21 @@ def near_dup_clusters(spark, sf_dir):
     cross products anywhere. The DuckDB oracle still clusters over the
     PAIRWISE candidate graph (near_dup_pairs) — star and complete bucket
     graphs have identical components, which this parity proves per run."""
-    from .cc import connected_components
+    from pyspark import StorageLevel
 
-    comp = connected_components(
-        _band_star_edges(minhash_signature(spark, sf_dir))
+    # persist the SLIM signature table once: the component stage consumes
+    # it through two different subtrees (bucket aggregate + member probe),
+    # so without the cache Catalyst would run the full md5-minhash corpus
+    # pass per branch (measured 3x wall at sf0.1); DISK_ONLY of 4x32-char
+    # hashes per doc is a few % of corpus bytes
+    sig = _track_cache(
+        minhash_signature(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     )
+    comp = _band_components(sig)
     d = _docs(spark, sf_dir).select("doc_id")
     return (
         d.join(
-            comp.select(F.col("node").alias("doc_id"),
-                        F.col("component").alias("cluster_id")),
+            comp.select("doc_id", F.col("component").alias("cluster_id")),
             "doc_id", "left",
         )
         .select(
@@ -1307,10 +1392,8 @@ def curate_verdict(docs):
     (cc.py adaptive); the verdict is one doc_id-keyed left join of the
     component table. Every stage is an equi-join or window — no cross
     products (plan-gated)."""
-    from .cc import connected_components
-
     base = _curate_base(docs)
-    comp = connected_components(_band_star_edges(base))
+    comp = _band_components(base)
     strat_h = F.substring(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"),
                        F.col("lang"), F.lit("|strat"))), 1, 2
@@ -1320,12 +1403,14 @@ def curate_verdict(docs):
         .when(F.length("lang") % 3 == 1, "80")
         .otherwise("c0")
     )
-    win = Window.partitionBy("text_hash")
+    # exact-winner via groupBy + join back (map-side-combinable min), not
+    # a window: byte-identical boilerplate pages make text_hash groups as
+    # skewed as band buckets, and a window would single-task the hot group
+    winners = base.groupBy("text_hash").agg(F.min("doc_id").alias("win_id"))
     return (
-        base.withColumn("win_id", F.min("doc_id").over(win))
+        base.join(winners, "text_hash")
         .join(
-            comp.select(F.col("node").alias("doc_id"),
-                        F.col("component").alias("comp")),
+            comp.select("doc_id", F.col("component").alias("comp")),
             "doc_id", "left",
         )
         .select(

@@ -60,15 +60,18 @@ def test_keep_composition_rule(verdict):
 
 def test_curate_corpus_single_corpus_scan(spark):
     """All stages must replay the DISK_ONLY _curate_base intermediate: the
-    executed final plan shows the cache (InMemoryTableScan) and at most the
-    one FileScan embedded in the cached relation's definition — the corpus
-    text column is read exactly once per run."""
+    executed final plan reads the cache (InMemoryTableScan) and every
+    FileScan line it prints is the SAME scan — the one embedded in the
+    cached relation's definition (the plan printer repeats the cache
+    definition under each consumer) — so the corpus text column is read
+    exactly once per run."""
     df = REGISTRY["curate_corpus"][0](spark, SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "InMemoryTableScan" in final
-    assert final.count("FileScan") <= 1
+    scans = {l.strip(" :+-") for l in final.splitlines() if "FileScan" in l}
+    assert len(scans) <= 1, scans
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     release_caches()

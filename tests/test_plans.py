@@ -220,3 +220,16 @@ def test_source_profile_single_corpus_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "InMemoryTableScan" in final
+
+
+def test_near_dup_pairs_signature_computed_once(spark):
+    """The projection-based minhash has no Exchange of its own, so the
+    banding self-join must repartition the slim (doc_id, band) table and
+    REUSE that exchange for both sides — one signature/md5 pass over the
+    corpus, not two. Exchange reuse is an AQE decision, so assert on the
+    EXECUTED final plan."""
+    df = REGISTRY["near_dup_pairs"][0](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
