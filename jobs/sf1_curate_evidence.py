@@ -104,7 +104,7 @@ def main() -> None:
         f"bench_pages_{gate_docs}.parquet",
     )
     gate = None
-    if os.path.exists(gate_path):
+    if os.path.exists(gate_path) and n_docs > gate_docs:
         lo = curate_leg("local[1]", 1, gate_path, runs=2, with_hash=False)
         hi = curate_leg("local[4]", 4, gate_path, runs=2, with_hash=False)
         lo_w, hi_w = min(lo["walls"]), min(hi["walls"])
