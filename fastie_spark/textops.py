@@ -1491,17 +1491,18 @@ FROM verdict
 """
 
 
-def curate_report(spark, sf_dir):
-    """Per-source curation report over the curate_corpus verdicts — what a
+def curate_report_df(v):
+    """Per-source curation report over a curate_verdict frame — what a
     crawl operator reads after the chain runs: volumes, how much each
     dedup/filter stage kept, sampling yield, and mean admitted quality.
+    ``v`` may be the live chain output or its written-back parquet
+    (jobs/run_curate.py reports over the shipped rows).
 
     Determinism: every aggregate is an integer count except
     avg_quality_kept, which sums quality in exact integer micro-units
     (quality is already rounded to 6 decimals, so round(q*1e6) is a lossless
     long) and divides once at the end — bit-identical under any
     partitioning and to the DuckDB oracle."""
-    v = curate_corpus(spark, sf_dir)
     q6 = F.round(F.col("quality") * 1000000).cast("long")
     n_kept = F.sum(F.col("keep").cast("long"))
     return v.groupBy("source").agg(
@@ -1518,6 +1519,11 @@ def curate_report(spark, sf_dir):
             6,
         ).alias("avg_quality_kept"),
     )
+
+
+def curate_report(spark, sf_dir):
+    """Registry entry: curate_report_df over the sf documents verdicts."""
+    return curate_report_df(curate_corpus(spark, sf_dir))
 
 
 CURATE_REPORT_SQL = f"""

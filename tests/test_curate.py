@@ -93,3 +93,46 @@ def test_report_counts_tie_to_verdict(spark, verdict):
         assert rep[src]["n_kept"] == s["n_kept"]
         assert rep[src]["n_sampled"] == s["n_sampled"]
     release_caches()
+
+
+def test_run_curate_cli_writes_verdict_and_report(spark, tmp_path):
+    """jobs/run_curate.py end-to-end on a documents table: the written
+    verdict must equal the in-session curate_verdict rows exactly, and the
+    written report must tie to the verdict counts."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs_src = f"{SF_DIR}/documents.parquet"
+    docs_dst = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "curation")
+    # copy through duckdb to get a standalone parquet file
+    duckdb.sql(
+        f"COPY (SELECT doc_id, source, lang, text FROM "
+        f"read_parquet('{docs_src}')) TO '{docs_dst}' (FORMAT PARQUET)"
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "run_curate.py"),
+         "--docs", docs_dst, "--out", out, "--master", "local[4]"],
+        check=True, capture_output=True, text=True, cwd=repo,
+    )
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_docs"] == 500
+
+    written = {
+        r["doc_id"]: (r["cluster_id"], r["keep"], r["in_sample"])
+        for r in spark.read.parquet(f"{out}/verdict").collect()
+    }
+    live = {
+        r["doc_id"]: (r["cluster_id"], r["keep"], r["in_sample"])
+        for r in REGISTRY["curate_corpus"][0](spark, SF_DIR).collect()
+    }
+    release_caches()
+    assert written == live
+    rep = {r["source"]: r for r in
+           spark.read.parquet(f"{out}/report").collect()}
+    assert sum(r["n_kept"] for r in rep.values()) == summary["n_kept"]
