@@ -44,10 +44,13 @@ def _norm(rows, cols):
 
 @pytest.mark.parametrize("name", [k for k, v in REGISTRY.items() if v[1]])
 def test_query_matches_oracle(spark, duck, name):
+    from fastie_spark.textops import release_caches
+
     fn, sql = REGISTRY[name]
     sdf = fn(spark, SF_DIR)
     scols = sorted(sdf.columns)
     srows = [r.asDict() for r in sdf.collect()]
+    release_caches()  # drop operator-persisted intermediates per query
 
     ddf = duck.sql(sql)
     dcols = sorted(ddf.columns)
