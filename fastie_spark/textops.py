@@ -1415,6 +1415,7 @@ def curate_verdict(docs):
         )
         .select(
             "doc_id", "source", "lang", "pred_lang", "quality", "n_chars_obs",
+            "text_hash",
             F.coalesce("comp", F.col("doc_id")).cast("long").alias("cluster_id"),
             (F.col("doc_id") == F.col("win_id")).alias("is_exact_winner"),
             (F.col("doc_id") == F.coalesce("comp", F.col("doc_id")))
@@ -1471,6 +1472,7 @@ feat AS (
 ),
 verdict AS (
   SELECT f.doc_id, f.source, f.lang, f.pred_lang, f.quality, f.n_chars_obs,
+         f.text_hash,
          cast(coalesce(c.component, f.doc_id) AS BIGINT) AS cluster_id,
          f.doc_id = f.win_id AS is_exact_winner,
          f.doc_id = coalesce(c.component, f.doc_id) AS is_canonical,
@@ -1480,8 +1482,8 @@ verdict AS (
          f.lang AS strat_lang
   FROM feat f LEFT JOIN comp c ON c.node = f.doc_id
 )
-SELECT doc_id, source, lang, pred_lang, quality, n_chars_obs, cluster_id,
-       is_exact_winner, is_canonical, keep,
+SELECT doc_id, source, lang, pred_lang, quality, n_chars_obs, text_hash,
+       cluster_id, is_exact_winner, is_canonical, keep,
        keep AND substring(md5(cast(doc_id AS VARCHAR) || '|' || strat_lang
                               || '|strat'), 1, 2)
                 < CASE WHEN length(strat_lang) % 3 = 0 THEN '40'
@@ -1505,8 +1507,9 @@ def curate_report_df(v):
     partitioning and to the DuckDB oracle."""
     q6 = F.round(F.col("quality") * 1000000).cast("long")
     n_kept = F.sum(F.col("keep").cast("long"))
-    return v.groupBy("source").agg(
+    stats = v.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("text_hash").cast("long").alias("n_distinct_texts"),
         F.sum(F.col("is_exact_winner").cast("long")).alias("n_exact_winners"),
         F.sum(F.col("is_canonical").cast("long")).alias("n_canonical"),
         n_kept.alias("n_kept"),
@@ -1518,6 +1521,34 @@ def curate_report_df(v):
             / F.greatest(n_kept, F.lit(1)) / 1000000.0,
             6,
         ).alias("avg_quality_kept"),
+    ).withColumn(
+        "dup_rate",
+        F.round(F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs"), 6),
+    )
+    # language-mix profile (the source_profile dashboard columns, derived
+    # from the SAME single-scan verdict rows): dominant language + share
+    per_lang = v.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("ln")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("ln"), F.asc("lang"))
+    top = (
+        per_lang.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("source", F.col("lang").alias("top_lang"),
+                F.col("ln").alias("top_n"))
+    )
+    n_langs = per_lang.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_langs")
+    )
+    return (
+        stats.join(n_langs, "source").join(top, "source")
+        .select(
+            "source", "n_docs", "n_distinct_texts", "dup_rate",
+            "n_exact_winners", "n_canonical", "n_kept", "n_sampled",
+            "keep_rate", "avg_quality_kept", "n_langs", "top_lang",
+            F.round(F.col("top_n") / F.col("n_docs"), 6)
+            .alias("top_lang_share"),
+        )
     )
 
 
@@ -1527,23 +1558,48 @@ def curate_report(spark, sf_dir):
 
 
 CURATE_REPORT_SQL = f"""
-WITH v AS ({CURATE_CORPUS_SQL})
-SELECT source,
-       cast(count(*) AS BIGINT) AS n_docs,
-       cast(sum(CASE WHEN is_exact_winner THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_exact_winners,
-       cast(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_canonical,
-       cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       cast(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / cast(count(*) AS DOUBLE),
-             6) AS keep_rate,
-       round(sum(CASE WHEN keep THEN cast(round(quality * 1000000) AS BIGINT)
-                      ELSE 0 END)
-             / cast(greatest(sum(CASE WHEN keep THEN 1 ELSE 0 END), 1)
-                    AS DOUBLE)
-             / 1000000.0, 6) AS avg_quality_kept
-FROM v GROUP BY source
+WITH v AS ({CURATE_CORPUS_SQL}),
+stats AS (
+  SELECT source,
+         cast(count(*) AS BIGINT) AS n_docs,
+         cast(count(DISTINCT text_hash) AS BIGINT) AS n_distinct_texts,
+         cast(sum(CASE WHEN is_exact_winner THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_winners,
+         cast(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_canonical,
+         cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         cast(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled,
+         round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+               / cast(count(*) AS DOUBLE), 6) AS keep_rate,
+         round(sum(CASE WHEN keep
+                        THEN cast(round(quality * 1000000) AS BIGINT)
+                        ELSE 0 END)
+               / cast(greatest(sum(CASE WHEN keep THEN 1 ELSE 0 END), 1)
+                      AS DOUBLE)
+               / 1000000.0, 6) AS avg_quality_kept
+  FROM v GROUP BY source
+),
+per_lang AS (
+  SELECT source, lang, cast(count(*) AS BIGINT) AS ln
+  FROM v GROUP BY 1, 2
+),
+top AS (
+  SELECT source, lang AS top_lang, ln AS top_n
+  FROM per_lang
+  QUALIFY row_number() OVER (PARTITION BY source
+                             ORDER BY ln DESC, lang) = 1
+),
+nl AS (SELECT source, cast(count(*) AS BIGINT) AS n_langs
+       FROM per_lang GROUP BY 1)
+SELECT s.source, s.n_docs, s.n_distinct_texts,
+       round(1.0 - s.n_distinct_texts / cast(s.n_docs AS DOUBLE), 6)
+         AS dup_rate,
+       s.n_exact_winners, s.n_canonical, s.n_kept, s.n_sampled,
+       s.keep_rate, s.avg_quality_kept, nl.n_langs, t.top_lang,
+       round(t.top_n / cast(s.n_docs AS DOUBLE), 6) AS top_lang_share
+FROM stats s JOIN nl ON nl.source = s.source
+JOIN top t ON t.source = s.source
 """
 
 
