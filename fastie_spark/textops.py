@@ -288,35 +288,54 @@ FROM documents
 
 
 # ---------------------------------------------------------------- dedup: minhash
+def _shingle_col():
+    """DISTINCT 8-char stride-4 shingle array over a ``norm`` (lowered
+    text) column. array_distinct is exactness-preserving for every
+    consumer (the signature takes a MIN per salt, and min over the
+    distinct set == min over the multiset) while cutting the dominant
+    md5 cost by the intra-doc duplication factor (measured 1.44x on the
+    templated bench corpus) — and materializing the shingles ONCE here
+    means the 4 salted families share one substring-extraction pass
+    instead of re-slicing the text per salt."""
+    return F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(norm) - 7, 1), 4),"
+            " p -> substring(norm, p, 8))"
+        )
+    )
+
+
 def _minhash_cols() -> list:
     """The 4 salted MinHash signature columns as PURE PROJECTIONS over a
-    ``norm`` (lowered text) column: per-doc min over the shingle set is a
-    row-local reduction, so ``array_min(transform(...))`` computes it with
-    NO explode and NO shuffle — the signature stage is whole-stage-codegen
-    and every consumer (banding self-join, curate_corpus) starts from an
-    unshuffled corpus scan. md5-string minima are engine-portable (no
-    64-bit hash parity issues)."""
+    ``shingles`` array column (_shingle_col): per-doc min over the shingle
+    set is a row-local reduction, so ``array_min(transform(...))`` computes
+    it with NO explode and NO shuffle — the signature stage is
+    whole-stage-codegen and every consumer (banding self-join,
+    curate_corpus) starts from an unshuffled corpus scan. md5-string
+    minima are engine-portable (no 64-bit hash parity issues).
+    CollapseProject will not inline the shared shingles array into the 4
+    consumers (non-cheap expression used >1x, SPARK-36718), so the
+    extraction genuinely runs once per row."""
     return [
         F.array_min(
-            F.expr(
-                "transform(sequence(1, greatest(length(norm) - 7, 1), 4),"
-                f" p -> md5(concat(substring(norm, p, 8), '{s}')))"
-            )
+            F.expr(f"transform(shingles, s -> md5(concat(s, '{s_}')))")
         ).alias(f"mh{i}")
-        for i, s in enumerate(_SALTS)
+        for i, s_ in enumerate(_SALTS)
     ]
 
 
 def minhash_signature(spark, sf_dir):
     """MinHash over 8-char shingles (stride 4), 4 salted hash families —
     shuffle-FREE: the per-doc minima are row-local array reductions
-    (_minhash_cols), so the plan is a single projection over the scan
-    (plan-gated: zero Exchange). The explode->partial-min->groupBy shape
-    this replaces paid one full corpus shuffle for the same values."""
+    (_minhash_cols over one shared _shingle_col pass), so the plan is a
+    projection chain over the scan (plan-gated: zero Exchange). The
+    explode->partial-min->groupBy shape this replaces paid one full
+    corpus shuffle for the same values."""
     return (
         _docs(spark, sf_dir)
         .select("doc_id", F.lower(F.col("text")).alias("norm"))
         .filter(F.col("norm").isNotNull())
+        .select("doc_id", _shingle_col().alias("shingles"))
         .select("doc_id", *_minhash_cols())
     )
 
@@ -1357,6 +1376,10 @@ def _curate_base(d):
             .when(ascii_n / n_chars > 0.65, F.lit("en"))
             .otherwise(F.lit("zh"))
             .alias("pred_lang"),
+        )
+        .select(
+            "doc_id", "source", "lang", "text_hash", "n_chars_obs",
+            "quality", "pred_lang", _shingle_col().alias("shingles"),
         )
         .select(
             "doc_id", "source", "lang", "text_hash", "n_chars_obs",
