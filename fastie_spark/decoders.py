@@ -52,6 +52,10 @@ def gplinker_decode_cells(ent_cells, head_cells, tail_cells, l, text, mapping, i
     else object); head_cells {(p,sh,oh)}; tail_cells {(p,st,ot)}. For every
     subject×object pair, emit predicates present in BOTH head and tail grids
     (modeling_gplinker.py:183-212)."""
+    # triples only arise from (head ∩ tail) predicate sets, so an empty
+    # head or tail grid decodes to nothing — skip the map building
+    if not head_cells or not tail_cells:
+        return set()
     subjects, objects = set(), set()
     for r, h, t in ent_cells:
         if h >= (l - 1) or t >= (l - 1) or 0 in (h, t):

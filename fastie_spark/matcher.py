@@ -13,6 +13,7 @@ per pattern) — asserted by tests against the naive implementation.
 
 from __future__ import annotations
 
+import re
 from collections import deque
 
 
@@ -20,6 +21,22 @@ class MultiPatternMatcher:
     def __init__(self, patterns):
         # deduped, empty patterns dropped (find_all('', x) is [] upstream)
         self.patterns = sorted({p for p in patterns if p})
+        # Fast path: when no pattern is a PREFIX of another, at most one
+        # pattern can match at any start position, so a plain (lookahead-
+        # free) alternation driven by re.search + restart-at(start+1)
+        # enumerates exactly the same (pattern, start) set as the automaton
+        # — and the C regex engine's first-char skip scan beats the
+        # per-char Python trie walk (~1.5x measured on the bench vocab).
+        # Prefix-containing sets (where the alternation would shadow the
+        # longer pattern) keep the Aho-Corasick path.
+        sp = self.patterns
+        self._prefix_free = all(
+            not sp[i + 1].startswith(sp[i]) for i in range(len(sp) - 1)
+        )
+        self._rx = (
+            re.compile("|".join(map(re.escape, sp)))
+            if self._prefix_free and sp else None
+        )
         self._goto = [{}]  # node -> {char: node}
         self._out = [()]   # node -> tuple of pattern indices ending here
         self._fail = [0]
@@ -52,6 +69,20 @@ class MultiPatternMatcher:
     def occurrences(self, text: str) -> dict:
         """{pattern: [start, ...]} for every pattern with >= 1 occurrence
         (all overlapping occurrences, starts ascending)."""
+        if self._rx is not None:
+            # leftmost-search + restart at start+1 visits every match start;
+            # prefix-freeness guarantees the single alternative matched at
+            # each start is THE pattern occurring there
+            res: dict = {}
+            search = self._rx.search
+            pos = 0
+            while True:
+                m = search(text, pos)
+                if m is None:
+                    return res
+                s = m.start()
+                res.setdefault(m.group(0), []).append(s)
+                pos = s + 1
         goto, fail, out, pats = self._goto, self._fail, self._out, self.patterns
         res: dict = {}
         node = 0

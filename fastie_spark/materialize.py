@@ -122,8 +122,24 @@ def materialize_snapshot(
 
     todo = [b for b in range(n_buckets) if str(b) not in done]
     if todo:
+        from pyspark.sql import Observation
+
         spark = triples_linked.sparkSession
         pending = prov.filter(F.col(BUCKET_COL).isin(todo))
+        # per-bucket lineage counts ride the write action itself as
+        # CollectMetrics (one sum per pending bucket) instead of a second
+        # readback job over the committed files — same numbers (the write
+        # and the metrics see the same rows), one fewer job in the e2e wall
+        obs = Observation(f"bucket_counts_{snapshot_id}")
+        pending = pending.observe(
+            obs,
+            *[
+                F.coalesce(
+                    F.sum((F.col(BUCKET_COL) == b).cast("long")), F.lit(0)
+                ).alias(f"b{b}")
+                for b in todo
+            ],
+        )
         prov_dir = os.path.join(out_dir, "provenance")
         # dynamic partition overwrite = idempotent per-bucket commit: a crash
         # between data write and manifest update just rewrites those buckets
@@ -144,24 +160,18 @@ def materialize_snapshot(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        # lineage counts from the committed files (cheap metadata-ish scan)
-        # instead of a second full pass over the upstream pipeline
-        counts = {
-            r[BUCKET_COL]: r["n"]
-            # explicit schema: an empty snapshot (zero triples in a batch)
-            # writes no parquet files, and a schema-less readback would fail
-            # with UNABLE_TO_INFER_SCHEMA — the streaming foreachBatch path
-            # hits this on any batch that yields no triples
-            for r in spark.read.schema(pending.schema).parquet(prov_dir)
-            .filter(
-                (F.col("snapshot_id") == snapshot_id)
-                & F.col(BUCKET_COL).isin(todo)
-            )
-            .groupBy(BUCKET_COL)
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        # obs.get blocks on the finished write action — a metadata fetch,
+        # not another job. A zero-row pending set produces NO metrics row
+        # at all (the observed plan never executes a task), and obs.get
+        # raises from the JVM in that case — fall back to all-zero counts,
+        # matching the old readback's counts.get(b, 0) when no files exist.
+        try:
+            counts = obs.get
+        except Exception:
+            counts = {}
         for b in todo:
-            manifest["buckets"][str(b)] = {"triples": int(counts.get(b, 0))}
+            manifest["buckets"][str(b)] = {
+                "triples": int(counts.get(f"b{b}", 0) or 0)
+            }
         write_manifest(out_dir, manifest)
     return manifest

@@ -179,13 +179,16 @@ def make_extract_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
     return fn
 
 
-def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
-                      do_events: bool = True, from_html: bool = True,
-                      split_sentence: bool = False, vocab_bc=None,
-                      init_acc=None):
+def _fused_doc_processor(vocab: Vocab, max_length: int = MAX_LENGTH,
+                         do_events: bool = True, from_html: bool = True,
+                         split_sentence: bool = False, vocab_bc=None,
+                         init_acc=None):
     """Whole-document fused stage: html->text (P-extract), chunking (P6),
     space-mask (P3), tokenize (T1), score, decode (M1/M8/M14), chunk-rejoin
     (J1/J2) — all inside ONE Arrow batch pass, one row per page in.
+    Returns (setup, process): setup() resolves the per-worker scorer ctx,
+    process(urls, srcs, ctx) -> row tuples; the mapInPandas / mapInArrow
+    wrappers below share them.
 
     Why fused: each extra python stage costs a JVM<->Arrow boundary and a
     scheduler barrier, and the J2 per-doc set union becomes a free in-memory
@@ -210,7 +213,7 @@ def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
     )
     ship_vocab = None if vocab_bc is not None else vocab
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def setup():
         def build():
             v = vocab_bc.value if vocab_bc is not None else ship_vocab
             return (
@@ -220,14 +223,16 @@ def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
                 dict(enumerate(v.event_labels())),
             )
 
-        scorer, ner_id2label, re_id2pred, event_id2label = get_or_build(
-            cache_key, build, init_acc
-        )
-        src_col = "html" if from_html else "text"
+        return get_or_build(cache_key, build, init_acc)
 
-        for pdf in batches:
-            rows = []
-            for url, src in zip(pdf["url"], pdf[src_col]):
+    def process(urls, srcs, ctx) -> list:
+        """The per-doc extract->score->decode loop over one batch; shared by
+        the pandas (make_fused_doc_fn) and arrow (make_fused_doc_arrow_fn)
+        wrappers so the two boundaries cannot drift semantically."""
+        scorer, ner_id2label, re_id2pred, event_id2label = ctx
+        rows = []
+        if True:
+            for url, src in zip(urls, srcs):
                 if from_html:
                     try:
                         text = extract_text_py(src)
@@ -245,26 +250,18 @@ def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
                 else:
                     chunks = split_one(text, max_length - 2)
                 bases = char_bases(chunks)
-                doc_triples: set = set()
-                for chunk, base in zip(chunks, bases):
-                    masked = chunk.replace(" ", "-")
-                    enc = encode(masked, max_length)
-                    l, mapping = enc["seq_len"], enc["offset_mapping"]
-                    for lbl, s, e, surf in gp_decode_cells(
-                        scorer.ner_cells(masked), l, chunk, mapping, ner_id2label
-                    ):
-                        rows.append(
-                            (url, "mention", lbl, s + base, e + base, surf,
-                             None, None, None, None, None, None, None, None)
-                        )
-                    ent, head, tail = scorer.re_cells(masked)
-                    doc_triples |= gplinker_decode_cells(
-                        ent, head, tail, l, chunk, mapping, re_id2pred
-                    )
                 if do_events:
                     # reference event driver truncates the DOC (no chunking,
-                    # decode_utils.py:104-136) — independent of chunk mode
-                    masked = text.replace(" ", "-")
+                    # decode_utils.py:104-136) — independent of chunk mode.
+                    # Only the first max_length-2 chars are decodable (the
+                    # scorer truncation-filters spans to that prefix and
+                    # seq_len caps there), so mask and scan ONLY the prefix:
+                    # identical cells at a fraction of the matcher work on
+                    # long docs. Running the event pass FIRST also makes its
+                    # masked text equal chunk 0's (fixed-window mode), so
+                    # the chunk loop's first occurrence scan is served from
+                    # the scorer memo instead of re-scanning.
+                    masked = text[: max_length - 2].replace(" ", "-")
                     enc = encode(masked, max_length)
                     l, mapping = enc["seq_len"], enc["offset_mapping"]
                     argu, eh, et = scorer.event_cells(masked)
@@ -289,18 +286,101 @@ def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
                                      None, None, None, ev["event_type"],
                                      ev.get("trigger"), None, None, key)
                                 )
+                doc_triples: set = set()
+                for chunk, base in zip(chunks, bases):
+                    masked = chunk.replace(" ", "-")
+                    enc = encode(masked, max_length)
+                    l, mapping = enc["seq_len"], enc["offset_mapping"]
+                    for lbl, s, e, surf in gp_decode_cells(
+                        scorer.ner_cells(masked), l, chunk, mapping, ner_id2label
+                    ):
+                        rows.append(
+                            (url, "mention", lbl, s + base, e + base, surf,
+                             None, None, None, None, None, None, None, None)
+                        )
+                    ent, head, tail = scorer.re_cells(masked)
+                    doc_triples |= gplinker_decode_cells(
+                        ent, head, tail, l, chunk, mapping, re_id2pred
+                    )
                 for pred, subj, obj in doc_triples:  # J2 union done in-doc
                     rows.append(
                         (url, "triple", None, None, None, None,
                          subj, pred, obj, None, None, None, None, None)
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "kind", "label", "start", "end", "surface",
-                    "subj", "pred", "obj", "event_type", "trigger", "role",
-                    "argument", "event_key",
-                ],
+        return rows
+
+    return setup, process
+
+
+_EXTRACT_COLS = [
+    "url", "kind", "label", "start", "end", "surface",
+    "subj", "pred", "obj", "event_type", "trigger", "role",
+    "argument", "event_key",
+]
+
+
+def make_fused_doc_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
+                      do_events: bool = True, from_html: bool = True,
+                      split_sentence: bool = False, vocab_bc=None,
+                      init_acc=None):
+    """mapInPandas wrapper over _fused_doc_processor (see its docstring).
+    Kept for API compatibility; the e2e job uses the arrow wrapper below,
+    which skips the pandas intermediate on both sides of the boundary."""
+    setup, process = _fused_doc_processor(
+        vocab, max_length=max_length, do_events=do_events,
+        from_html=from_html, split_sentence=split_sentence,
+        vocab_bc=vocab_bc, init_acc=init_acc,
+    )
+    src_col = "html" if from_html else "text"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = setup()
+        for pdf in batches:
+            rows = process(pdf["url"], pdf[src_col], ctx)
+            yield pd.DataFrame(rows, columns=_EXTRACT_COLS)
+
+    return fn
+
+
+def make_fused_doc_arrow_fn(vocab: Vocab, max_length: int = MAX_LENGTH,
+                            do_events: bool = True, from_html: bool = True,
+                            split_sentence: bool = False, vocab_bc=None,
+                            init_acc=None):
+    """mapInArrow wrapper over the SAME per-doc processor: input columns are
+    read straight off the Arrow record batch and output rows become Arrow
+    arrays directly — no pandas block building on either side (guide-§4
+    Python-boundary cost; measured ~35 ms per 58k output rows for the
+    DataFrame construction alone, plus the serializer's pandas->arrow
+    conversion on top). Row content is byte-identical to the pandas
+    wrapper because both call one `process`."""
+    import pyarrow as pa
+
+    setup, process = _fused_doc_processor(
+        vocab, max_length=max_length, do_events=do_events,
+        from_html=from_html, split_sentence=split_sentence,
+        vocab_bc=vocab_bc, init_acc=init_acc,
+    )
+    src_col = "html" if from_html else "text"
+    types = [
+        pa.int64() if c in ("start", "end") else pa.string()
+        for c in _EXTRACT_COLS
+    ]
+
+    def fn(batches) -> Iterator["pa.RecordBatch"]:
+        ctx = setup()
+        for batch in batches:
+            rows = process(
+                batch.column("url").to_pylist(),
+                batch.column(src_col).to_pylist(),
+                ctx,
+            )
+            cols = (
+                list(zip(*rows)) if rows
+                else [[] for _ in _EXTRACT_COLS]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(v, type=t) for v, t in zip(cols, types)],
+                names=_EXTRACT_COLS,
             )
 
     return fn
@@ -343,11 +423,12 @@ def run_extraction_fused(
     vocab_bc = (
         spark.sparkContext.broadcast(vocab) if broadcast_vocab else None
     )
-    raw = src.mapInPandas(
-        make_fused_doc_fn(vocab, max_length=max_length, do_events=do_events,
-                          from_html=from_html,
-                          split_sentence=split_sentence, vocab_bc=vocab_bc,
-                          init_acc=init_acc),
+    raw = src.mapInArrow(
+        make_fused_doc_arrow_fn(
+            vocab, max_length=max_length, do_events=do_events,
+            from_html=from_html, split_sentence=split_sentence,
+            vocab_bc=vocab_bc, init_acc=init_acc,
+        ),
         schema=EXTRACT_SCHEMA,
     )
     if persist:

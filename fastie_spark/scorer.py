@@ -144,6 +144,20 @@ class DictScorer:
             self._rel_by_subj.setdefault(a, []).append((self.pred2id[p], o))
             self._subj_surfaces.add(a)
             self._obj_surfaces.add(o)
+        # event hot-path precompute: per-instance (label_id, arg) lists with
+        # the label ids resolved ONCE (the f-string+dict lookup per arg per
+        # doc was measurable), plus an argument-surface -> instance-indices
+        # inverted index so event_cells touches only instances with at
+        # least one present argument instead of the whole event vocabulary
+        self._event_args = [
+            [(self.event_label2id[f"{etype}@{role}"], arg)
+             for role, arg in args]
+            for etype, args in self._masked_events
+        ]
+        self._event_inv: dict = {}
+        for _idx, _largs in enumerate(self._event_args):
+            for _, _arg in _largs:
+                self._event_inv.setdefault(_arg, []).append(_idx)
 
     def _occ_map(self, text: str) -> dict:
         if text != self._memo_text:
@@ -228,14 +242,23 @@ class DictScorer:
         tail_links {(t_min,t_max)})."""
         argu, head, tail = set(), set(), set()
         present = self._present(masked_text)
-        for etype, args in self._masked_events:
+        # only instances with >= 1 present argument can contribute cells;
+        # the inverted index makes the scan proportional to the (small)
+        # present-surface set, not the event vocabulary. Set-valued
+        # outputs make the instance iteration order immaterial.
+        inv = self._event_inv
+        hit: set = set()
+        for surf in present:
+            ids = inv.get(surf)
+            if ids:
+                hit.update(ids)
+        for idx in hit:
             occ = []  # one occurrence set per (role, argument)
-            for role, arg in args:
-                lid = self.event_label2id[f"{etype}@{role}"]
-                spans = present.get(arg, [])
-                for h, t in spans:
-                    argu.add((lid, h, t))
+            for lid, arg in self._event_args[idx]:
+                spans = present.get(arg)
                 if spans:
+                    for h, t in spans:
+                        argu.add((lid, h, t))
                     occ.append(spans[0])  # link via first occurrence
             for i in range(len(occ)):
                 for j in range(i + 1, len(occ)):
