@@ -49,12 +49,14 @@ def _driver_union_find(spark, pairs, node_type: str = "string") -> DataFrame:
                 parent[rv] = ru
             else:
                 parent[ru] = rv
-    rows = sorted((n, find(n)) for n in parent)
+    import pandas as pd
+
     from .session import local_df
 
+    rows = sorted((n, find(n)) for n in parent)
     return local_df(
         spark,
-        [{"node": n, "component": c} for n, c in rows],
+        pd.DataFrame(rows, columns=["node", "component"]),
         f"node {node_type}, component {node_type}",
     )
 
@@ -79,9 +81,14 @@ def connected_components(
         small = edges.select(
             F.col(src).alias("u"), F.col(dst).alias("v")
         ).filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
-        n = small.limit(broadcast_threshold + 1).count()
-        if n <= broadcast_threshold:
-            pairs = [(r["u"], r["v"]) for r in small.collect()]
+        # ONE bounded job doubles as the size probe AND the edge fetch: pull
+        # at most threshold+1 rows through Arrow — if everything fit, those
+        # rows ARE the edge set (the old limit().count() probe + collect()
+        # pair computed the upstream chain twice); if not, the head is
+        # discarded and the distributed loop recomputes from lineage.
+        head = small.limit(broadcast_threshold + 1).toPandas()
+        if len(head) <= broadcast_threshold:
+            pairs = list(zip(head["u"].tolist(), head["v"].tolist()))
             node_type = edges.schema[src].dataType.simpleString()
             if not pairs:
                 # a legitimate empty alias table must yield an empty result,

@@ -482,15 +482,31 @@ def _band_components(sig):
                    "band")
         .select("doc_id", "rep")
     )
-    per_doc = mem.groupBy("doc_id").agg(
-        F.min("rep").alias("r1"), F.max("rep").alias("r2")
+    from pyspark import StorageLevel
+
+    # per_doc is consumed THREE times — connected_components' size probe,
+    # its edge collect, and the final component join — and each consumer
+    # would otherwise replay the bands->reps->join->groupBy chain (two
+    # 2x-corpus-row shuffles; measured as the dominant curate cost once
+    # the signature was cheap). It is two longs per banded doc, so a
+    # DISK_ONLY persist makes every reuse a ~30 ms cache scan.
+    per_doc = _track_cache(
+        mem.groupBy("doc_id").agg(
+            F.min("rep").alias("r1"), F.max("rep").alias("r2")
+        ).persist(StorageLevel.DISK_ONLY)
     )
     rep_edges = (
         per_doc.filter(F.col("r1") != F.col("r2"))
         .select(F.col("r1").alias("src"), F.col("r2").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
-    comp_rep = connected_components(rep_edges)
+    # rep edges are two LONGS per row (vs the string ids the default
+    # threshold is sized for), so the driver-union-find fast path stays
+    # comfortably broadcast-scale far beyond the default: 2M pairs ~ tens
+    # of MB via Arrow. Measured at 600k templated docs: 300k rep edges,
+    # where the distributed label-prop loop cost 7.7 s and the driver
+    # path 2.2 s. Beyond the threshold the distributed loop still runs.
+    comp_rep = connected_components(rep_edges, broadcast_threshold=2_000_000)
     return (
         per_doc.join(
             # no broadcast hint: the comp table is tiny on templated
