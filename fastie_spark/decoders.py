@@ -159,6 +159,9 @@ def clique_search_reference(argus, links):
     return [sorted(argus)]
 
 
+_CLIQUE_SHAPE_MEMO: dict = {}  # (n, adjacency) -> result masks, process-wide
+
+
 def clique_search(argus, links, max_states: int = 1 << 20):
     """Rewrite of the reference maximal-complete-subgraph recursion
     (decode_utils.py:44-62). Nodes become indices over the (set-derived,
@@ -187,13 +190,32 @@ def clique_search(argus, links, max_states: int = 1 << 20):
     if n <= 1:
         return [sorted(argus)]
     adj = [0] * n
+    n_edges = 0
     for i in range(n):
         hi, ti = argus[i][2], argus[i][3]
         for j in range(i + 1, n):
             if (hi, ti, argus[j][2], argus[j][3]) in links:
                 adj[i] |= 1 << j
                 adj[j] |= 1 << i
+                n_edges += 1
     full = (1 << n) - 1
+    # complete graph (the common case: one event instance's arguments all
+    # pairwise linked) — the recursion finds no non-adjacent pair and
+    # returns the whole set; skip the stack machinery
+    if n_edges == n * (n - 1) // 2:
+        return [sorted(argus)]
+    # the search result depends ONLY on the adjacency structure over node
+    # indices (argus is pre-sorted by the caller), so identical small graph
+    # shapes — which recur constantly across documents — share one memoized
+    # mask list; the per-doc work collapses to adjacency build + mask->node
+    # projection
+    shape_key = (n, tuple(adj))
+    masks = _CLIQUE_SHAPE_MEMO.get(shape_key)
+    if masks is not None:
+        return [
+            sorted(argus[i] for i in range(n) if mask >> i & 1)
+            for mask in masks
+        ]
 
     expans: dict = {}  # sub -> ordered child masks (empty = sub is a clique)
 
@@ -252,6 +274,8 @@ def clique_search(argus, links, max_states: int = 1 << 20):
         memo[sub] = out
         stack.pop()
 
+    if len(_CLIQUE_SHAPE_MEMO) < 65536:  # bound worker memory
+        _CLIQUE_SHAPE_MEMO[shape_key] = memo[full]
     return [
         sorted(argus[i] for i in range(n) if mask >> i & 1)
         for mask in memo[full]
@@ -274,11 +298,14 @@ def event_decode_cells(
     events, each a list of (event_type, role, argument_text, start, end)
     (modeling_gplinker.py:177-221)."""
     argus = set()
+    split_memo: dict = {}  # label id -> (etype, role), split once per call
     for p, h, t in argu_cells:
         if h >= (l - 1) or t >= (l - 1) or 0 in (h, t):
             continue
-        etype, role = id2label[p].rsplit(split, 1)
-        argus.add((etype, role, int(h), int(t)))
+        er = split_memo.get(p)
+        if er is None:
+            er = split_memo[p] = tuple(id2label[p].rsplit(split, 1))
+        argus.add((er[0], er[1], int(h), int(t)))
 
     links = set()
     # only positions that appear in some head/tail link pair can ever link

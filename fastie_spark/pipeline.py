@@ -230,6 +230,11 @@ def _fused_doc_processor(vocab: Vocab, max_length: int = MAX_LENGTH,
         the pandas (make_fused_doc_fn) and arrow (make_fused_doc_arrow_fn)
         wrappers so the two boundaries cannot drift semantically."""
         scorer, ner_id2label, re_id2pred, event_id2label = ctx
+        # affix-free vocabularies take the fused scorer fast paths
+        # (mentions_fast always valid; triples_fast needs the gate — see
+        # scorer.py proof sketches); other vocabs keep the generic
+        # grid-build + decode, output-identical by the parity tests
+        fast_re = scorer._affix_free
         rows = []
         if True:
             for url, src in zip(urls, srcs):
@@ -291,17 +296,22 @@ def _fused_doc_processor(vocab: Vocab, max_length: int = MAX_LENGTH,
                     masked = chunk.replace(" ", "-")
                     enc = encode(masked, max_length)
                     l, mapping = enc["seq_len"], enc["offset_mapping"]
-                    for lbl, s, e, surf in gp_decode_cells(
-                        scorer.ner_cells(masked), l, chunk, mapping, ner_id2label
+                    for lbl, s, e, surf in scorer.mentions_fast(
+                        masked, chunk, mapping, ner_id2label
                     ):
                         rows.append(
                             (url, "mention", lbl, s + base, e + base, surf,
                              None, None, None, None, None, None, None, None)
                         )
-                    ent, head, tail = scorer.re_cells(masked)
-                    doc_triples |= gplinker_decode_cells(
-                        ent, head, tail, l, chunk, mapping, re_id2pred
-                    )
+                    if fast_re:
+                        doc_triples |= scorer.triples_fast(
+                            masked, chunk, mapping, re_id2pred
+                        )
+                    else:
+                        ent, head, tail = scorer.re_cells(masked)
+                        doc_triples |= gplinker_decode_cells(
+                            ent, head, tail, l, chunk, mapping, re_id2pred
+                        )
                 for pred, subj, obj in doc_triples:  # J2 union done in-doc
                     rows.append(
                         (url, "triple", None, None, None, None,

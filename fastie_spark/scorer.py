@@ -158,6 +158,18 @@ class DictScorer:
         for _idx, _largs in enumerate(self._event_args):
             for _, _arg in _largs:
                 self._event_inv.setdefault(_arg, []).append(_idx)
+        # affix-freeness over the FULL matcher pattern set: when no surface
+        # is a prefix OR suffix of another, at most one pattern occurrence
+        # can start (resp. end) at any char position, which makes grid-cell
+        # positions uniquely attributable to surfaces — the precondition
+        # for triples_fast below (see its proof sketch)
+        _sp = self._matcher.patterns
+        _rp = sorted(p[::-1] for p in _sp)
+        self._affix_free = all(
+            not _sp[i + 1].startswith(_sp[i]) for i in range(len(_sp) - 1)
+        ) and all(
+            not _rp[i + 1].startswith(_rp[i]) for i in range(len(_rp) - 1)
+        )
 
     def _occ_map(self, text: str) -> dict:
         if text != self._memo_text:
@@ -204,6 +216,71 @@ class DictScorer:
                 for s_tok, e_tok in spans:
                     cells.add((lid, s_tok, e_tok))
         return cells
+
+    # ---- fused fast paths (guide §4.2: per-task Python work) --------------
+    def mentions_fast(self, masked_text: str, text: str, mapping,
+                      id2label) -> set:
+        """gp_decode_cells(ner_cells(masked_text), ...) fused into one pass
+        over the present-surface map — no intermediate cell set. Output-
+        identical for ANY vocab: the decode is a per-cell map into a set,
+        so enumerating the cell generators directly yields the same set,
+        and the decode's l-bound filter can never fire on this scorer's
+        cells (_present truncation-filters spans to e_tok <= seq_len - 2).
+        Differentially tested against the slow path (oracle parity +
+        tests)."""
+        out = set()
+        ent = self._ent_lids
+        for surf, spans in self._present(masked_text).items():
+            lids = ent.get(surf)
+            if not lids:
+                continue
+            labels = [id2label[lid] for lid in lids]
+            for s_tok, e_tok in spans:
+                cs, ce = mapping[s_tok][0], mapping[e_tok][1]
+                seg = text[cs:ce]
+                for lbl in labels:
+                    out.add((lbl, cs, ce, seg))
+        return out
+
+    def triples_fast(self, masked_text: str, text: str, mapping,
+                     id2pred) -> set:
+        """gplinker_decode_cells(*re_cells(masked_text), ...) fused into a
+        direct relation-product — VALID ONLY when self._affix_free.
+
+        Proof sketch of output equality: the full decode emits
+        (p, text[sh..st], text[oh..ot]) whenever (sh,st) is a subject
+        occurrence, (oh,ot) an object occurrence, (sh,oh) in head_p and
+        (st,ot) in tail_p. Under affix-freeness at most one pattern
+        occurrence starts (prefix-free) or ends (suffix-free) at any char
+        position, so the subject at (sh,st), the head-cell subject at sh,
+        and the tail-cell subject ending at st are the SAME occurrence of
+        the SAME surface A (likewise B for the object side) — hence every
+        emitted tuple comes from a vocabulary relation (A, p, B) with both
+        sides present, which is exactly what this product enumerates.
+        Without affix-freeness cross-relation position collisions can emit
+        extra tuples, so callers must gate on _affix_free (the generic
+        decode remains the fallback). Differential equality is pinned by
+        oracle-parity tests and the decoder fuzz suite."""
+        present = self._present(masked_text)
+        out = set()
+        for subj, subj_occ in present.items():
+            rels = self._rel_by_subj.get(subj)
+            if not rels:
+                continue
+            subj_texts = {
+                text[mapping[s][0]:mapping[e][1]] for s, e in subj_occ
+            }
+            for p, obj in rels:
+                obj_occ = present.get(obj)
+                if obj_occ is None:
+                    continue
+                pred = id2pred[p]
+                for b in {
+                    text[mapping[s][0]:mapping[e][1]] for s, e in obj_occ
+                }:
+                    for a in subj_texts:
+                        out.add((pred, a, b))
+        return out
 
     # ---- M8: GPLinker RE grids -------------------------------------------
     def re_cells(self, masked_text: str):

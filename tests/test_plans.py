@@ -95,8 +95,10 @@ def test_fused_extraction_no_extra_shuffle(spark, vocab, pages_df):
     plan = plan_tree(out["triples"])
     # exactly the one designed shuffle: the explicit url-hash repartition
     assert plan.count("Exchange") == 1
-    # and the whole decode stage is a single python stage
-    assert plan.count("MapInPandas") == 1
+    # and the whole decode stage is a single python stage (Arrow-native
+    # since the fused path moved to mapInArrow)
+    assert plan.count("MapInArrow") == 1
+    assert "MapInPandas" not in plan
 
 
 def test_corpus_filter_single_scan_for_predicates(spark):
