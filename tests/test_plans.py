@@ -75,12 +75,17 @@ def test_dedup_exact_single_shuffle(spark):
 
 def test_minhash_signature_is_shuffle_free(spark):
     """The per-doc minima are row-local array reductions (array_min over
-    transform) — the signature stage must be a pure projection: zero
-    Exchange, no Generate (explode), no aggregate at all."""
+    transform) — the signature stage must be a pure projection: no keyed
+    (hash-partitioned) Exchange, no Generate (explode), no aggregate. The
+    one exchange permitted is _scan_parallel's ROUND-ROBIN repartition,
+    which fires only when the input arrives as fewer scan splits than half
+    the cores (tiny local files; never at scale) to spread the md5 work."""
     plan = plan_tree(REGISTRY["minhash_signature"][0](spark, SF_DIR))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
     assert "Generate" not in plan
     assert "Aggregate" not in plan
+    # any exchange present must be the adaptive scan-parallelizer
+    assert plan.count("Exchange") == plan.count("RoundRobinPartitioning")
 
 
 def test_knn_query_side_broadcast(spark):
