@@ -483,7 +483,11 @@ def _band_components(sig):
     (singleton-bucket docs are omitted — callers coalesce to doc_id)."""
     from .cc import connected_components
 
-    bands = sig.select(
+    # NULL-signature docs (NULL text) must NOT band: concat_ws skips NULL
+    # columns, so they would all collapse into shared bands "0"/"1" and be
+    # clustered as near-dups, while the oracle's unnest over an empty
+    # shingle set gives them no bands at all (singleton clusters)
+    bands = sig.filter(F.col("mh0").isNotNull()).select(
         "doc_id",
         F.explode(
             F.array(
@@ -1322,7 +1326,10 @@ def source_profile(spark, sf_dir):
     per_lang = fine.groupBy("source", "lang").agg(
         F.sum("n").cast("long").alias("ln")
     )
-    w = Window.partitionBy("source").orderBy(F.desc("ln"), F.asc("lang"))
+    # asc_nulls_last: engine-identical tie-break (DuckDB orders NULLS LAST)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("ln"), F.asc_nulls_last("lang")
+    )
     top = (
         per_lang.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
@@ -1464,10 +1471,19 @@ def curate_verdict(docs):
     )
     # exact-winner via groupBy + join back (map-side-combinable min), not
     # a window: byte-identical boilerplate pages make text_hash groups as
-    # skewed as band buckets, and a window would single-task the hot group
-    winners = base.groupBy("text_hash").agg(F.min("doc_id").alias("win_id"))
+    # skewed as band buckets, and a window would single-task the hot group.
+    # NULL-SAFE key: md5(NULL text) is NULL, and a plain equi-join would
+    # silently drop those rows (breaking one-verdict-row-per-doc and
+    # diverging from the oracle's window, which groups NULLs together);
+    # coalescing to '' groups and joins NULL hashes exactly like the
+    # oracle's PARTITION BY (md5 hex strings are 32 chars, so '' cannot
+    # collide with a real hash)
+    th_key = F.coalesce("text_hash", F.lit("")).alias("__th")
+    winners = base.groupBy(th_key).agg(F.min("doc_id").alias("win_id"))
     return (
-        base.join(winners, "text_hash")
+        base.withColumn("__th", F.coalesce("text_hash", F.lit("")))
+        .join(winners, "__th")
+        .drop("__th")
         .join(
             comp.select("doc_id", F.col("component").alias("comp")),
             "doc_id", "left",
@@ -1589,7 +1605,11 @@ def curate_report_df(v):
     per_lang = v.groupBy("source", "lang").agg(
         F.count("*").cast("long").alias("ln")
     )
-    w = Window.partitionBy("source").orderBy(F.desc("ln"), F.asc("lang"))
+    # asc_nulls_last: DuckDB's ORDER BY lang is NULLS LAST, Spark's asc is
+    # NULLS FIRST — a NULL lang tied on count would pick different rows
+    w = Window.partitionBy("source").orderBy(
+        F.desc("ln"), F.asc_nulls_last("lang")
+    )
     top = (
         per_lang.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)

@@ -187,3 +187,46 @@ def test_source_profile_null_source_parity(spark, tmp_path):
     cols = sorted(sdf.columns)
     assert len(srows) == len(drows) == 2
     assert _norm(srows, cols) == _norm(drows, cols)
+
+
+def test_curate_corpus_null_text_parity(spark, tmp_path):
+    """NULL-text documents must keep their verdict row and must NOT be
+    clustered together: md5(NULL) is NULL, so (a) the exact-winner join
+    must be null-safe (a plain equi-join drops the rows — the oracle's
+    window keeps them grouped), and (b) NULL-signature docs must be
+    excluded from banding (concat_ws skips NULL minhash columns, which
+    would collapse every NULL doc into shared bands "0"/"1"). The sf
+    fixtures carry no NULLs, so this builds a corpus that does and runs
+    the full Spark-vs-DuckDB comparison on it."""
+    import duckdb as _duckdb
+
+    from fastie_spark.session import local_df
+    from fastie_spark.textops import CURATE_CORPUS_SQL, curate_corpus
+
+    rows = [
+        (1, "alpha beta gamma delta repeated content here", "en", "a", 40),
+        (2, "alpha beta gamma delta repeated content here", "en", "a", 40),
+        (3, "totally different body of text for doc three", "zh", "b", 40),
+        (4, None, "en", "a", 0),
+        (5, None, "zh", "b", 0),
+        (6, "", "en", "b", 0),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    d = str(tmp_path)
+    local_df(spark, rows, schema).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    sdf = curate_corpus(spark, d)
+    srows = [r.asDict() for r in sdf.collect()]
+    con = _duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{d}/documents.parquet/*.parquet')")
+    ddf = con.sql(CURATE_CORPUS_SQL)
+    drows = [dict(zip(ddf.columns, r)) for r in ddf.fetchall()]
+    cols = sorted(sdf.columns)
+    # one verdict row per document, NULL-text docs included
+    assert len(srows) == len(rows)
+    assert _norm(srows, cols) == _norm(drows, cols)
+    # the two NULL docs must not be merged into one near-dup cluster
+    by_id = {r["doc_id"]: r for r in srows}
+    assert by_id[4]["cluster_id"] != by_id[5]["cluster_id"]
