@@ -307,11 +307,14 @@ def event_decode_cells(
             er = split_memo[p] = tuple(id2label[p].rsplit(split, 1))
         argus.add((er[0], er[1], int(h), int(t)))
 
-    links = set()
     # only positions that appear in some head/tail link pair can ever link
     # (the scorer links first occurrences only), so the O(n^2) pair scan
     # runs over that small subset instead of every occurrence — the link
-    # set is identical
+    # set is identical. The scan is further restricted to WITHIN-event-type
+    # pairs: clique_search only ever queries adjacency between arguments of
+    # the same group, and for any within-group pair the link membership
+    # test is determined by head_links/tail_links alone, so dropping the
+    # cross-type pairs from the link set cannot change any adjacency.
     head_pos: set = set()
     for lo, hi in head_links:
         head_pos.add(lo)
@@ -320,20 +323,23 @@ def event_decode_cells(
     for lo, hi in tail_links:
         tail_pos.add(lo)
         tail_pos.add(hi)
-    argu_list = [a for a in argus if a[2] in head_pos and a[3] in tail_pos]
-    for i1, (_, _, h1, t1) in enumerate(argu_list):
-        for i2, (_, _, h2, t2) in enumerate(argu_list):
-            if i2 > i1:
+
+    events = []
+    for _, sub_argus in groupby(sorted(argus), key=lambda s: s[0]):
+        group = list(sub_argus)
+        glist = [a for a in group if a[2] in head_pos and a[3] in tail_pos]
+        links = set()
+        for i1 in range(len(glist)):
+            _, _, h1, t1 = glist[i1]
+            for i2 in range(i1 + 1, len(glist)):
+                _, _, h2, t2 = glist[i2]
                 if (min(h1, h2), max(h1, h2)) in head_links and (
                     min(t1, t2),
                     max(t1, t2),
                 ) in tail_links:
                     links.add((h1, t1, h2, t2))
                     links.add((h2, t2, h1, t1))
-
-    events = []
-    for _, sub_argus in groupby(sorted(argus), key=lambda s: s[0]):
-        for event in clique_search(list(sub_argus), links):
+        for event in clique_search(group, links):
             events.append([])
             for argu in event:
                 start, end = mapping[argu[2]][0], mapping[argu[3]][1]
