@@ -94,10 +94,14 @@ def run_kg_job(
         graph = build_graph_tables(triples_linked, mentions_linked)
 
         def _write(pair):
+            # no coalesce: it capped the FINAL aggregation stage (not just
+            # the file write) at 8 tasks; AQE's partition coalescing
+            # already right-sizes the post-shuffle partition count for
+            # these small tables, so the plain write keeps the agg at full
+            # parallelism and still emits few files (measured: nodes write
+            # 1.15s plain vs 3.5s coalesced on the 600k-doc bench)
             name, df = pair
-            df.coalesce(8).write.mode("overwrite").parquet(
-                f"{out_dir}/{name}"
-            )
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
 
         from concurrent.futures import ThreadPoolExecutor
 
