@@ -14,18 +14,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(rows, cols):
+    """Canonicalize like the DRIVER does: a pandas sort_values over the raw
+    cell values. The old str(x)-keyed sort silently accepted column types
+    pandas cannot sort (round-5 regression: an array<double> column passed
+    here but errored the official driver row with 'unhashable type: list'),
+    so this must fail exactly where the driver fails."""
+    import pandas as pd
+
+    def cell(v):
+        return round(v, 6) if isinstance(v, float) else v
+
+    df = pd.DataFrame(
+        [[cell(r[c]) for c in cols] for r in rows], columns=list(cols)
+    )
+    if len(df):
+        df = df.sort_values(list(cols))  # raises on unsortable cell types
     out = []
-    for r in rows:
-        vals = []
-        for c in cols:
-            v = r[c]
-            if isinstance(v, float):
-                v = round(v, 6)
-                if math.isnan(v):
-                    v = "nan"
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
+    for vals in df.itertuples(index=False, name=None):
+        out.append(tuple(
+            "nan" if isinstance(v, float) and math.isnan(v) else v
+            for v in vals
+        ))
     return out
 
 
