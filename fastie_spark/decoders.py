@@ -306,7 +306,18 @@ def event_decode_cells(
         if er is None:
             er = split_memo[p] = tuple(id2label[p].rsplit(split, 1))
         argus.add((er[0], er[1], int(h), int(t)))
+    return event_decode_from_argus(
+        argus, head_links, tail_links, text, mapping, has_trigger=has_trigger
+    )
 
+
+def event_decode_from_argus(
+    argus, head_links, tail_links, text, mapping, has_trigger=True
+) -> list:
+    """The grouping + clique + emission half of event_decode_cells, over an
+    argu set already in decoded {(etype, role, h, t)} form — shared by the
+    generic path above and the fused scorer fast path
+    (DictScorer.event_views)."""
     # only positions that appear in some head/tail link pair can ever link
     # (the scorer links first occurrences only), so the O(n^2) pair scan
     # runs over that small subset instead of every occurrence — the link

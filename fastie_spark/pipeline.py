@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from .decoders import (
     event_decode_cells,
+    event_decode_from_argus,
     event_set2json,
     gp_decode_cells,
     gplinker_decode_cells,
@@ -269,11 +270,12 @@ def _fused_doc_processor(vocab: Vocab, max_length: int = MAX_LENGTH,
                     masked = text[: max_length - 2].replace(" ", "-")
                     enc = encode(masked, max_length)
                     l, mapping = enc["seq_len"], enc["offset_mapping"]
-                    argu, eh, et = scorer.event_cells(masked)
+                    # fused event path: argus come out of the scorer already
+                    # decoded (event_views), skipping the per-cell label
+                    # split + dead bound checks of the generic decode
+                    argus, eh, et = scorer.event_views(masked)
                     for ev in event_set2json(
-                        event_decode_cells(
-                            argu, eh, et, l, text, mapping, event_id2label
-                        )
+                        event_decode_from_argus(argus, eh, et, text, mapping)
                     ):
                             args = [(a["role"], a["argument"])
                                     for a in ev["arguments"]]

@@ -154,6 +154,13 @@ class DictScorer:
              for role, arg in args]
             for etype, args in self._masked_events
         ]
+        # decoded-form twin of _event_args for event_views: (etype, role)
+        # resolved once so the fused fast path skips the per-cell label
+        # rsplit the generic decode pays
+        self._event_args_er = [
+            [((etype, role), arg) for role, arg in args]
+            for etype, args in self._masked_events
+        ]
         self._event_inv: dict = {}
         for _idx, _largs in enumerate(self._event_args):
             for _, _arg in _largs:
@@ -343,6 +350,40 @@ class DictScorer:
                     head.add((min(h1, h2), max(h1, h2)))
                     tail.add((min(t1, t2), max(t1, t2)))
         return argu, head, tail
+
+    def event_views(self, masked_text: str):
+        """event_cells with the argu set already in DECODED form
+        {(etype, role, h, t)} — the fused-pipeline twin of
+        event_cells + the argus-build loop of event_decode_cells. Output-
+        identical to that pair because (a) the (etype, role) split of
+        'etype@role' labels is resolved at init (labels are built from the
+        same f-string), and (b) the decode's l-bound filter can never fire
+        on this scorer's truncation-filtered spans (same argument as
+        mentions_fast). The generic path remains for the oracle and for
+        dense grids; parity is pinned by the event differential tests."""
+        argus, head, tail = set(), set(), set()
+        present = self._present(masked_text)
+        inv = self._event_inv
+        hit: set = set()
+        for surf in present:
+            ids = inv.get(surf)
+            if ids:
+                hit.update(ids)
+        for idx in hit:
+            occ = []
+            for er, arg in self._event_args_er[idx]:
+                spans = present.get(arg)
+                if spans:
+                    et, ro = er
+                    for h, t in spans:
+                        argus.add((et, ro, h, t))
+                    occ.append(spans[0])
+            for i in range(len(occ)):
+                for j in range(i + 1, len(occ)):
+                    (h1, t1), (h2, t2) = occ[i], occ[j]
+                    head.add((min(h1, h2), max(h1, h2)))
+                    tail.add((min(t1, t2), max(t1, t2)))
+        return argus, head, tail
 
     # ---- M5: span-NER per-token start/end argmax labels -------------------
     def span_arrays(self, masked_text: str):

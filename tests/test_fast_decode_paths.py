@@ -100,3 +100,58 @@ def test_clique_shape_memo_is_content_independent():
         [(7, 8), (9, 10)],
         [(9, 10), (11, 12)],
     ]
+
+
+def test_event_views_matches_generic_decode_fuzz():
+    """DictScorer.event_views + event_decode_from_argus must equal
+    scorer.event_cells + event_decode_cells for any vocab/text (the fused
+    pipeline's event branch vs the oracle's generic path)."""
+    from fastie_spark.decoders import (
+        event_decode_cells,
+        event_decode_from_argus,
+        event_set2json,
+    )
+    from fastie_spark.tokenizer import encode_meta
+
+    rng = random.Random(7)
+    alpha = "abc汉字xy "
+    roles = ["触发词", "time", "who", "where"]
+    for _ in range(80):
+        surfs = list(
+            {
+                "".join(rng.choice(alpha) for _ in range(rng.randint(2, 5)))
+                .replace(" ", "-")
+                for _ in range(rng.randint(2, 8))
+            }
+        )
+        evs = []
+        for _ in range(rng.randint(1, 4)):
+            etype = rng.choice(["eA", "eB"])
+            args = [(r, rng.choice(surfs)) for r in roles
+                    if rng.random() < 0.7]
+            if args:
+                evs.append((etype, args))
+        if not evs:
+            continue
+        v = Vocab(entity_vocab=[], relation_vocab=[], event_vocab=evs)
+        sc = DictScorer(v, 512)
+        id2l = dict(enumerate(v.event_labels()))
+        for _ in range(4):
+            text = "".join(
+                rng.choice(surfs)
+                if rng.random() < 0.5
+                else "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(2, 20))
+            )
+            masked = text.replace(" ", "-")
+            enc = encode_meta(masked, 512)
+            l, mp = enc["seq_len"], enc["offset_mapping"]
+            argu, eh, et = sc.event_cells(masked)
+            slow = event_set2json(
+                event_decode_cells(argu, eh, et, l, text, mp, id2l)
+            )
+            argus2, eh2, et2 = sc.event_views(masked)
+            fast = event_set2json(
+                event_decode_from_argus(argus2, eh2, et2, text, mp)
+            )
+            assert fast == slow, (text, fast, slow)
