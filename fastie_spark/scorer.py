@@ -156,9 +156,13 @@ class DictScorer:
         ]
         # decoded-form twin of _event_args for event_views: (etype, role)
         # resolved once so the fused fast path skips the per-cell label
-        # rsplit the generic decode pays
+        # rsplit the generic decode pays. NOTE: resolved by rsplitting the
+        # composed label at the LAST '@' — the generic decode's exact
+        # behavior — so a role containing '@' decodes identically on both
+        # paths (the raw (etype, role) pair would differ there).
         self._event_args_er = [
-            [((etype, role), arg) for role, arg in args]
+            [(tuple(f"{etype}@{role}".rsplit("@", 1)), arg)
+             for role, arg in args]
             for etype, args in self._masked_events
         ]
         self._event_inv: dict = {}
