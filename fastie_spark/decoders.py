@@ -198,6 +198,17 @@ def clique_search(argus, links, max_states: int = 1 << 20):
                 adj[i] |= 1 << j
                 adj[j] |= 1 << i
                 n_edges += 1
+    return _clique_search_adj(argus, adj, n_edges, max_states)
+
+
+def _clique_search_adj(argus, adj, n_edges, max_states: int = 1 << 20):
+    """clique_search body over a PRE-BUILT adjacency bitmask list — used by
+    event_decode_from_argus, whose link-confirmation pair scan already
+    knows the adjacency, so re-deriving it from the links set would be
+    duplicate O(n^2) work. Same output contract as clique_search."""
+    n = len(argus)
+    if n <= 1:
+        return [sorted(argus)]
     full = (1 << n) - 1
     # complete graph (the common case: one event instance's arguments all
     # pairwise linked) — the recursion finds no non-adjacent pair and
@@ -338,19 +349,28 @@ def event_decode_from_argus(
     events = []
     for _, sub_argus in groupby(sorted(argus), key=lambda s: s[0]):
         group = list(sub_argus)
-        glist = [a for a in group if a[2] in head_pos and a[3] in tail_pos]
-        links = set()
-        for i1 in range(len(glist)):
-            _, _, h1, t1 = glist[i1]
-            for i2 in range(i1 + 1, len(glist)):
-                _, _, h2, t2 = glist[i2]
+        # link-confirmation pair scan emits the adjacency BITMASKS directly
+        # (by index into the sorted group) — clique_search would otherwise
+        # re-derive the same adjacency from a links set with a second
+        # O(n^2) scan. glist keeps (group index, h, t) of linkable members.
+        glist = [
+            (gi, a[2], a[3]) for gi, a in enumerate(group)
+            if a[2] in head_pos and a[3] in tail_pos
+        ]
+        adj = [0] * len(group)
+        n_edges = 0
+        for x in range(len(glist)):
+            g1, h1, t1 = glist[x]
+            for y in range(x + 1, len(glist)):
+                g2, h2, t2 = glist[y]
                 if (min(h1, h2), max(h1, h2)) in head_links and (
                     min(t1, t2),
                     max(t1, t2),
                 ) in tail_links:
-                    links.add((h1, t1, h2, t2))
-                    links.add((h2, t2, h1, t1))
-        for event in clique_search(group, links):
+                    adj[g1] |= 1 << g2
+                    adj[g2] |= 1 << g1
+                    n_edges += 1
+        for event in _clique_search_adj(group, adj, n_edges):
             events.append([])
             for argu in event:
                 start, end = mapping[argu[2]][0], mapping[argu[3]][1]
