@@ -1326,21 +1326,24 @@ def source_profile(spark, sf_dir):
     per_lang = fine.groupBy("source", "lang").agg(
         F.sum("n").cast("long").alias("ln")
     )
-    # asc_nulls_last: engine-identical tie-break (DuckDB orders NULLS LAST)
+    # asc_nulls_last: engine-identical tie-break (DuckDB orders NULLS LAST).
+    # n_langs rides the SAME window partition as the rank (an unordered
+    # count over partitionBy(source)) — one shuffle and one join instead
+    # of a separate groupBy + second join; values identical (the count of
+    # per_lang rows per source attached to the rank-1 row).
     w = Window.partitionBy("source").orderBy(
         F.desc("ln"), F.asc_nulls_last("lang")
     )
+    wc = Window.partitionBy("source")
     top = (
         per_lang.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_langs", F.count("*").over(wc).cast("long"))
         .filter(F.col("rnk") == 1)
         .select("source", F.col("lang").alias("top_lang"),
-                F.col("ln").alias("top_n"))
-    )
-    n_langs = per_lang.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_langs")
+                F.col("ln").alias("top_n"), "n_langs")
     )
     return (
-        base.join(n_langs, "source").join(top, "source")
+        base.join(top, "source")
         .select(
             "source", "n_docs", "n_distinct",
             F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_docs"), 6)
@@ -1606,21 +1609,21 @@ def curate_report_df(v):
         F.count("*").cast("long").alias("ln")
     )
     # asc_nulls_last: DuckDB's ORDER BY lang is NULLS LAST, Spark's asc is
-    # NULLS FIRST — a NULL lang tied on count would pick different rows
+    # NULLS FIRST — a NULL lang tied on count would pick different rows.
+    # n_langs rides the same window partition (see source_profile).
     w = Window.partitionBy("source").orderBy(
         F.desc("ln"), F.asc_nulls_last("lang")
     )
+    wc = Window.partitionBy("source")
     top = (
         per_lang.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_langs", F.count("*").over(wc).cast("long"))
         .filter(F.col("rnk") == 1)
         .select("source", F.col("lang").alias("top_lang"),
-                F.col("ln").alias("top_n"))
-    )
-    n_langs = per_lang.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_langs")
+                F.col("ln").alias("top_n"), "n_langs")
     )
     return (
-        stats.join(n_langs, "source").join(top, "source")
+        stats.join(top, "source")
         .select(
             "source", "n_docs", "n_distinct_texts", "dup_rate",
             "n_exact_winners", "n_canonical", "n_kept", "n_sampled",
