@@ -80,34 +80,46 @@ def run_kg_job(
     }
 
     if out_dir is not None:
-        # ONE full-pipeline action (the provenance write, which also fills
-        # the raw persist and carries the per-bucket lineage counts as
-        # CollectMetrics). nodes AND edges then both derive from the now-hot
-        # cache (a cache scan is ~40x cheaper than the pipeline, measured),
-        # and their two writes are independent jobs — submitted from a small
-        # thread pool so the second write's tasks back-fill executors freed
-        # by the first's tail instead of waiting for it (guide-style
-        # overlap of independent jobs).
-        manifest = materialize_snapshot(
-            triples_linked, out_dir, snapshot_id, n_buckets=n_buckets
-        )
+        # ONE extract-only action (count over the observed raw) fills the
+        # persist and carries the kind counts as CollectMetrics. The three
+        # sinks — provenance, nodes, edges — are then all independent jobs
+        # over the hot cache, so they run from ONE 3-thread pool (guide-
+        # style overlap of independent jobs): each is a cache scan + its
+        # own small shuffle/write, and the later jobs' tasks back-fill
+        # executors freed by the earlier jobs' tails. Deterministic
+        # single-compute: the cache is complete BEFORE any sink starts, so
+        # no sink can race another into recomputing extraction partitions.
+        # (Previously the provenance write doubled as the fill and nodes+
+        # edges waited for all of it; measured 6.93 -> 6.47 s at 600k docs.)
+        raw.count()
         graph = build_graph_tables(triples_linked, mentions_linked)
+        sunk: dict = {}
 
-        def _write(pair):
+        def _prov():
+            sunk["manifest"] = materialize_snapshot(
+                triples_linked, out_dir, snapshot_id, n_buckets=n_buckets
+            )
+
+        def _write(name, df):
             # no coalesce: it capped the FINAL aggregation stage (not just
             # the file write) at 8 tasks; AQE's partition coalescing
             # already right-sizes the post-shuffle partition count for
             # these small tables, so the plain write keeps the agg at full
             # parallelism and still emits few files (measured: nodes write
             # 1.15s plain vs 3.5s coalesced on the 600k-doc bench)
-            name, df = pair
             df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            list(pool.map(_write, [("nodes", graph["nodes"]),
-                                   ("edges", graph["edges"])]))
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(_prov),
+                pool.submit(_write, "nodes", graph["nodes"]),
+                pool.submit(_write, "edges", graph["edges"]),
+            ]
+            for f in futs:
+                f.result()
+        manifest = sunk["manifest"]
         result["manifest"] = manifest
         # per-bucket lineage counts already paid for the pass — reuse
         result["n_triples"] = sum(
